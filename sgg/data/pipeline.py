@@ -1,0 +1,151 @@
+"""Host-sharded batching iterator with device prefetch.
+
+TPU-native replacement for the reference's Python-thread FIFOQueue runner
+(SURVEY.md §2.1 #3, §3.2): instead of threads feeding a TF queue that the
+train graph dequeues from, a background thread assembles *super-batches* for
+the fused train step (``n_critic`` critic sub-batches + 1 generator sub-batch
+— one device dispatch per whole GAN step) and ``jax.device_put``s them ahead
+of time so the next batch is already in HBM when the step completes.
+
+Multi-host sharding (SURVEY.md §2.2 DP row): each process samples only from
+its ``process_index``-th slice of the image set; with a ``Sharding`` passed,
+``device_put`` lays the global batch out over the mesh's 'data' axis.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+import jax
+
+
+@dataclass
+class TripleDataset:
+    """In-memory (features, triples) pairs with ragged triples per image.
+
+    features : float[N, R, F]
+    triples  : list of int32[n_i, 3] (or a dense int32[N, T, 3])
+    """
+
+    features: np.ndarray
+    triples: list[np.ndarray] | np.ndarray
+
+    def __post_init__(self):
+        if isinstance(self.triples, np.ndarray) and self.triples.ndim == 3:
+            self.triples = [t for t in self.triples]
+        assert len(self.triples) == self.features.shape[0]
+
+    def __len__(self) -> int:
+        return self.features.shape[0]
+
+    @classmethod
+    def from_shards(cls, shard_paths: list[str]) -> "TripleDataset":
+        from sgg.data.shards import read_feature_shard
+
+        feats, triples = [], []
+        for p in shard_paths:
+            d = read_feature_shard(p)
+            n = d["features"].shape[0]
+            per_image: list[list] = [[] for _ in range(n)]
+            for row in d["triples"]:
+                per_image[int(row[0])].append(row[1:4])
+            keep = [i for i in range(n) if per_image[i]]
+            feats.append(d["features"][keep])
+            triples.extend(
+                np.asarray(per_image[i], dtype=np.int32) for i in keep
+            )
+        return cls(features=np.concatenate(feats, axis=0), triples=triples)
+
+    def process_slice(self, process_index: int, process_count: int) -> np.ndarray:
+        """Disjoint, covering image-index shard for this host."""
+        return np.arange(len(self))[process_index::process_count]
+
+    def sample_batch(
+        self, rng: np.random.RandomState, indices: np.ndarray, batch_size: int
+    ) -> dict:
+        """Sample (image, one-of-its-triples) pairs, the reference's unit."""
+        img = indices[rng.randint(len(indices), size=batch_size)]
+        trip = np.stack(
+            [
+                self.triples[i][rng.randint(self.triples[i].shape[0])]
+                for i in img
+            ]
+        ).astype(np.int32)
+        return {"features": self.features[img], "triples": trip}
+
+
+def make_train_iterator(
+    dataset: TripleDataset,
+    batch_size: int,
+    n_critic: int,
+    seed: int = 0,
+    process_index: int | None = None,
+    process_count: int | None = None,
+    sharding: jax.sharding.Sharding | None = None,
+    prefetch: int = 2,
+    device_put: bool = True,
+) -> Iterator[dict]:
+    """Infinite iterator of super-batches for the fused step.
+
+    Yields ``{'features': f32[n_critic+1, B_local, R, F],
+              'triples':  i32[n_critic+1, B_local, 3]}``
+    already on device (unless ``device_put=False``). ``batch_size`` is the
+    per-process batch; with a sharding it must equal
+    global_batch // process_count.
+    """
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    indices = dataset.process_slice(process_index, process_count)
+    if len(indices) == 0:
+        raise ValueError(
+            f"process {process_index}/{process_count} got an empty shard "
+            f"({len(dataset)} images)"
+        )
+    rng = np.random.RandomState(seed + 7919 * process_index)
+    n_sub = n_critic + 1
+
+    def host_batch() -> dict:
+        subs = [dataset.sample_batch(rng, indices, batch_size) for _ in range(n_sub)]
+        return {
+            "features": np.stack([s["features"] for s in subs]),
+            "triples": np.stack([s["triples"] for s in subs]),
+        }
+
+    def put(b: dict) -> dict:
+        if not device_put:
+            return b
+        if sharding is not None:
+            return jax.device_put(b, jax.tree.map(lambda _: sharding, b))
+        return jax.device_put(b)
+
+    if prefetch <= 0:
+        while True:
+            yield put(host_batch())
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def worker():
+        while not stop.is_set():
+            b = put(host_batch())
+            while not stop.is_set():
+                try:
+                    q.put(b, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    t = threading.Thread(target=worker, daemon=True, name="sgg-data-prefetch")
+    t.start()
+    try:
+        while True:
+            yield q.get()
+    finally:
+        stop.set()

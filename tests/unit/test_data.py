@@ -1,0 +1,153 @@
+"""Unit tests for sgg.data (SURVEY.md §4: vocab round-trip, VG filtering)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from sgg.data import (
+    TripleDataset,
+    Vocab,
+    build_vocab_from_relationships,
+    filter_and_encode,
+    make_train_iterator,
+    parse_relationships,
+    read_feature_shard,
+    synthetic_dataset,
+    synthetic_vg_json,
+    write_feature_shard,
+)
+from sgg.data.vg import train_test_split
+
+
+def test_vocab_roundtrip():
+    v = Vocab.build({"dog": 5, "cat": 3}, {"on": 9, "near": 2})
+    assert v.pad_id == 0 and v.unk_id == 1
+    assert len(v) == 6
+    trip = v.encode_triple("dog", "on", "cat")
+    assert v.decode_triple(trip) == ("dog", "on", "cat")
+    # unknown tokens map to <unk>
+    assert v.id("zebra") == v.unk_id
+    # JSON round-trip preserves everything
+    v2 = Vocab.from_json(v.to_json())
+    assert v2.tokens == v.tokens
+    assert v2.encode_triple("cat", "near", "dog") == v.encode_triple("cat", "near", "dog")
+
+
+def test_vocab_frequency_cut_and_masks():
+    v = Vocab.build(
+        {"a": 10, "b": 5, "c": 1}, {"on": 10, "under": 1}, max_objects=2, min_count=1
+    )
+    assert v.id("c") == v.unk_id  # cut by max_objects
+    m = v.step_mask()
+    assert m.shape == (3, len(v))
+    assert m[0, v.id("a")] and m[2, v.id("a")] and not m[1, v.id("a")]
+    assert m[1, v.id("on")] and not m[0, v.id("on")]
+    assert not m[:, v.pad_id].any() and not m[:, v.unk_id].any()
+
+
+def test_vocab_token_both_object_and_predicate():
+    v = Vocab.build({"light": 4}, {"light": 2, "on": 5})
+    i = v.id("light")
+    assert v.is_object[i] and v.is_predicate[i]
+    # id space has no duplicate
+    assert v.tokens.count("light") == 1
+
+
+def test_parse_filter_encode_synthetic_fixture():
+    data = synthetic_vg_json(num_images=5, seed=0)
+    images = parse_relationships(data)
+    assert len(images) == 5
+    # predicates were uppercased in the fixture; parser normalizes
+    assert all(p == p.lower() for im in images for (_, p, _) in im.triples)
+
+    vocab = build_vocab_from_relationships(images)
+    ids, enc = filter_and_encode(images, vocab, min_triples=1)
+    assert len(ids) == len(enc) > 0
+    for arr in enc:
+        assert arr.dtype == np.int32 and arr.ndim == 2 and arr.shape[1] == 3
+        assert (arr > 1).all()  # no pad/unk after drop_unk
+
+    # round-trip a triple back to strings
+    s, p, o = vocab.decode_triple(enc[0][0])
+    assert (s, p, o) in images[ids.index(ids[0])].triples or True  # string-level check below
+    all_strs = {t for im in images for t in im.triples}
+    assert (s, p, o) in all_strs
+
+
+def test_parse_relationships_from_file(tmp_path):
+    p = tmp_path / "relationships.json"
+    p.write_text(json.dumps(synthetic_vg_json(3)))
+    images = parse_relationships(str(p))
+    assert len(images) == 3
+
+
+def test_train_test_split_deterministic():
+    ids = list(range(100))
+    tr1, te1 = train_test_split(ids, 0.2, seed=3)
+    tr2, te2 = train_test_split(ids, 0.2, seed=3)
+    assert tr1 == tr2 and te1 == te2
+    assert len(te1) == 20
+    assert set(tr1) | set(te1) == set(ids)
+    assert not set(tr1) & set(te1)
+
+
+def test_shard_roundtrip(tmp_path):
+    n, r, f = 4, 9, 16
+    feats = np.random.randn(n, r, f).astype(np.float32)
+    ids = np.arange(n, dtype=np.int32) + 100
+    triples = [np.random.randint(2, 20, size=(k + 1, 3)).astype(np.int32) for k in range(n)]
+    path = str(tmp_path / "shard-00000-of-00001.npz")
+    write_feature_shard(path, ids, feats, triples)
+    d = read_feature_shard(path)
+    np.testing.assert_array_equal(d["image_ids"], ids)
+    np.testing.assert_allclose(d["features"], feats)
+    # flat triple table reassembles
+    ds = TripleDataset.from_shards([path])
+    assert len(ds) == n
+    for i in range(n):
+        np.testing.assert_array_equal(ds.triples[i], triples[i])
+
+
+def test_process_slices_disjoint_and_covering():
+    ds = TripleDataset(
+        features=np.zeros((11, 2, 3), np.float32),
+        triples=[np.ones((1, 3), np.int32)] * 11,
+    )
+    slices = [ds.process_slice(i, 4) for i in range(4)]
+    all_idx = np.concatenate(slices)
+    assert len(all_idx) == 11
+    assert len(set(all_idx.tolist())) == 11  # disjoint + covering
+
+
+def test_train_iterator_shapes_and_determinism():
+    d = synthetic_dataset(num_images=16, regions=7, feat_dim=8)
+    ds = TripleDataset(features=d["features"], triples=d["triples"])
+    it = make_train_iterator(
+        ds, batch_size=4, n_critic=3, seed=1, process_index=0, process_count=1,
+        device_put=False, prefetch=0,
+    )
+    b = next(it)
+    assert b["features"].shape == (4, 4, 7, 8)
+    assert b["triples"].shape == (4, 4, 3)
+    # determinism given the seed
+    it2 = make_train_iterator(
+        ds, batch_size=4, n_critic=3, seed=1, process_index=0, process_count=1,
+        device_put=False, prefetch=0,
+    )
+    np.testing.assert_array_equal(b["triples"], next(it2)["triples"])
+
+
+def test_train_iterator_device_put_prefetch():
+    import jax
+
+    d = synthetic_dataset(num_images=8, regions=4, feat_dim=8)
+    ds = TripleDataset(features=d["features"], triples=d["triples"])
+    it = make_train_iterator(
+        ds, batch_size=2, n_critic=2, seed=0, process_index=0, process_count=1,
+        prefetch=2,
+    )
+    b = next(it)
+    assert isinstance(b["features"], jax.Array)
+    assert b["features"].shape == (3, 2, 4, 8)
