@@ -1,0 +1,228 @@
+"""Dataclass configuration system.
+
+Reference status (SURVEY.md §5 "Config/flag system"): argparse flags per
+entry script with partly hard-coded hyperparameters. Rebuild: typed dataclass
+configs, one named config per BASELINE.json entry (lines 7–11), with CLI
+overrides applied by ``sgg.cli`` via ``--set section.field=value``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax.numpy as jnp
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+@dataclass
+class ModelConfig:
+    vocab_size: int = 1024  # overwritten from the built vocab at train time
+    encoder: str = "precomputed"  # precomputed | vgg19 | resnet50 | vit_b16
+    decoder: str = "lstm"  # lstm | transformer
+    hidden: int = 512
+    embed_dim: int = 256
+    attn_dim: int = 256
+    noise_dim: int = 128
+    critic_hidden: int = 512
+    critic_layers: int = 3
+    # transformer decoder settings
+    num_heads: int = 8
+    num_layers: int = 4
+    mlp_ratio: int = 4
+    compute_dtype: str = "float32"  # bfloat16 on TPU
+    use_pallas: bool = False  # route hot ops through Pallas kernels
+
+    @property
+    def dtype(self):
+        return _DTYPES[self.compute_dtype]
+
+
+@dataclass
+class DataConfig:
+    regions: int = 196  # 14x14 VGG conv5 grid
+    feat_dim: int = 512
+    image_size: int = 224
+    source: str = "synthetic"  # synthetic | shards | vg
+    data_dir: str = ""
+    vocab_path: str = ""
+    num_synthetic_images: int = 1024
+    max_triples_per_image: int = 32
+    test_fraction: float = 0.1
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 32  # per-process batch
+    n_critic: int = 5
+    gp_lambda: float = 10.0
+    drift: float = 0.0  # optional epsilon-drift on real scores
+    g_lr: float = 1e-4
+    d_lr: float = 1e-4
+    beta1: float = 0.5
+    beta2: float = 0.9
+    total_steps: int = 100_000
+    seed: int = 0
+    # Gumbel-softmax temperature annealing: tau = max(min, tau0 * exp(-r*step))
+    tau0: float = 1.0
+    tau_min: float = 0.5
+    tau_anneal: float = 0.0
+    hard: bool = False  # straight-through instead of relaxed samples
+    log_every: int = 50
+    checkpoint_every: int = 1000
+    max_checkpoints: int = 3
+
+
+@dataclass
+class MeshConfig:
+    data: int = -1  # -1 = all remaining devices
+    model: int = 1
+
+
+@dataclass
+class Config:
+    name: str = "default"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    workdir: str = "/tmp/sgg_workdir"
+
+    # ------------------------------------------------------------------- io
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        return cls(
+            name=d.get("name", "default"),
+            model=ModelConfig(**d.get("model", {})),
+            data=DataConfig(**d.get("data", {})),
+            train=TrainConfig(**d.get("train", {})),
+            mesh=MeshConfig(**d.get("mesh", {})),
+            workdir=d.get("workdir", "/tmp/sgg_workdir"),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def override(self, assignments: list[str]) -> "Config":
+        """Apply ``section.field=value`` CLI overrides (typed via existing value)."""
+        cfg = Config.from_dict(json.loads(self.to_json()))
+        for a in assignments:
+            path, _, raw = a.partition("=")
+            parts = path.strip().split(".")
+            obj: Any = cfg
+            for p in parts[:-1]:
+                obj = getattr(obj, p)
+            old = getattr(obj, parts[-1])
+            if isinstance(old, bool):
+                val: Any = raw.strip().lower() in ("1", "true", "yes")
+            elif isinstance(old, int):
+                val = int(raw)
+            elif isinstance(old, float):
+                val = float(raw)
+            else:
+                val = raw
+            setattr(obj, parts[-1], val)
+        return cfg
+
+
+# --------------------------------------------------------------------------
+# Named configs — one per BASELINE.json "configs" entry (lines 7–11).
+# --------------------------------------------------------------------------
+
+def _cfg_vg1k_cpu() -> Config:
+    """[B:7] VG 1k-image subset, precomputed VGG-19 features, batch 32."""
+    c = Config(name="vg1k")
+    c.data.num_synthetic_images = 1024
+    c.train.batch_size = 32
+    return c
+
+
+def _cfg_vg_full_v4_8() -> Config:
+    """[B:8] Full VG end-to-end: on-device decode → VGG → GAN, single v4-8."""
+    c = Config(name="vg_full")
+    c.model.encoder = "vgg19"
+    c.model.compute_dtype = "bfloat16"
+    c.model.use_pallas = True
+    c.data.source = "vg"
+    c.train.batch_size = 256
+    c.mesh.data = -1
+    return c
+
+
+def _cfg_resnet50() -> Config:
+    """[B:9] ResNet-50 backbone, Pallas fused conv+BN+ReLU, larger vocab."""
+    c = Config(name="resnet50")
+    c.model.encoder = "resnet50"
+    c.model.vocab_size = 8192
+    c.model.compute_dtype = "bfloat16"
+    c.model.use_pallas = True
+    c.data.feat_dim = 2048
+    c.data.regions = 49  # 7x7 conv5 grid
+    c.mesh.model = 1
+    return c
+
+
+def _cfg_vit_b16() -> Config:
+    """[B:10] ViT-B/16 encoder + transformer triple decoder + flash-attention."""
+    c = Config(name="vit_b16")
+    c.model.encoder = "vit_b16"
+    c.model.decoder = "transformer"
+    c.model.compute_dtype = "bfloat16"
+    c.model.use_pallas = True
+    c.data.feat_dim = 768
+    c.data.regions = 196  # 14x14 patches at 224px
+    return c
+
+
+def _cfg_v4_32_multihost() -> Config:
+    """[B:11] Multi-host v4-32 data-parallel WGAN-GP training."""
+    c = Config(name="v4_32")
+    c.model.encoder = "vgg19"
+    c.model.compute_dtype = "bfloat16"
+    c.model.use_pallas = True
+    c.data.source = "vg"
+    c.train.batch_size = 128  # per-process; global = 128 * n_processes
+    c.mesh.data = -1
+    return c
+
+
+def _cfg_smoke() -> Config:
+    """Tiny shapes for tests/CI — not a BASELINE config."""
+    c = Config(name="smoke")
+    c.model.hidden = 32
+    c.model.embed_dim = 16
+    c.model.attn_dim = 16
+    c.model.noise_dim = 8
+    c.model.critic_hidden = 32
+    c.data.regions = 9
+    c.data.feat_dim = 16
+    c.data.num_synthetic_images = 64
+    c.train.batch_size = 8
+    c.train.n_critic = 2
+    c.train.total_steps = 20
+    c.train.log_every = 5
+    c.train.checkpoint_every = 10
+    return c
+
+
+CONFIGS = {
+    "vg1k": _cfg_vg1k_cpu,
+    "vg_full": _cfg_vg_full_v4_8,
+    "resnet50": _cfg_resnet50,
+    "vit_b16": _cfg_vit_b16,
+    "v4_32": _cfg_v4_32_multihost,
+    "smoke": _cfg_smoke,
+}
+
+
+def get_config(name: str) -> Config:
+    if name not in CONFIGS:
+        raise KeyError(f"unknown config {name!r}; available: {sorted(CONFIGS)}")
+    return CONFIGS[name]()

@@ -1,0 +1,99 @@
+"""Train state: generator + critic params, optimizer states, step, RNG.
+
+Replaces the reference's ``tf.train.Saver``-managed session variables
+(SURVEY.md §2.1 #7) with one immutable pytree — the unit that orbax
+checkpoints and that the fused step threads through scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from sgg.config import Config
+from sgg.models import AttentionLSTMGenerator, TripleCritic
+
+
+@flax.struct.dataclass
+class GANTrainState:
+    step: jnp.ndarray  # int32 scalar
+    g_params: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    rng: jax.Array  # base key; per-step keys are folded from this + step
+
+
+def make_models(cfg: Config):
+    """Build generator + critic modules from config (decoder selected here)."""
+    m = cfg.model
+    if m.decoder == "lstm":
+        gen = AttentionLSTMGenerator(
+            vocab_size=m.vocab_size,
+            hidden=m.hidden,
+            embed_dim=m.embed_dim,
+            attn_dim=m.attn_dim,
+            noise_dim=m.noise_dim,
+            dtype=m.dtype,
+        )
+    elif m.decoder == "transformer":
+        from sgg.models.transformer import TransformerTripleGenerator
+
+        gen = TransformerTripleGenerator(
+            vocab_size=m.vocab_size,
+            hidden=m.hidden,
+            embed_dim=m.embed_dim,
+            noise_dim=m.noise_dim,
+            num_heads=m.num_heads,
+            num_layers=m.num_layers,
+            mlp_ratio=m.mlp_ratio,
+            dtype=m.dtype,
+            use_pallas=m.use_pallas,
+        )
+    else:
+        raise ValueError(f"unknown decoder {m.decoder!r}")
+    critic = TripleCritic(
+        vocab_size=m.vocab_size,
+        embed_dim=m.embed_dim,
+        hidden=m.critic_hidden,
+        attn_dim=m.attn_dim,
+        n_layers=m.critic_layers,
+        dtype=m.dtype,
+    )
+    return gen, critic
+
+
+def make_optimizers(cfg: Config) -> tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    t = cfg.train
+    g_tx = optax.adam(t.g_lr, b1=t.beta1, b2=t.beta2)
+    d_tx = optax.adam(t.d_lr, b1=t.beta1, b2=t.beta2)
+    return g_tx, d_tx
+
+
+def create_train_state(cfg: Config, rng: jax.Array) -> GANTrainState:
+    gen, critic = make_models(cfg)
+    g_tx, d_tx = make_optimizers(cfg)
+    B, R, F = 2, cfg.data.regions, cfg.data.feat_dim
+    feats = jnp.zeros((B, R, F), cfg.model.dtype)
+    z = jnp.zeros((B, cfg.model.noise_dim), cfg.model.dtype)
+    r_init, r_gen, r_critic, r_state = jax.random.split(rng, 4)
+    g_vars = gen.init(r_init, feats, z, r_gen)
+    fake = jnp.full((B, 3, cfg.model.vocab_size), 1.0 / cfg.model.vocab_size)
+    d_vars = critic.init(r_critic, feats, fake)
+    g_params, d_params = g_vars["params"], d_vars["params"]
+    return GANTrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=g_tx.init(g_params),
+        d_opt_state=d_tx.init(d_params),
+        rng=r_state,
+    )
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

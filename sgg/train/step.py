@@ -1,0 +1,173 @@
+"""The fused WGAN-GP train step — one compiled program per GAN iteration.
+
+The reference dispatches ``n_critic + 1`` separate ``sess.run`` calls per GAN
+iteration, each a host→device round trip (SURVEY.md §3.2). Here the whole
+iteration — ``lax.scan`` over n_critic critic updates (fwd + GP double-bwd +
+Adam) followed by one generator update — is a single jit-compiled XLA
+program (BASELINE.json:5 "fused into a single pmapped update").
+
+Data-parallel modes:
+  - ``axis_name=None`` — plain jit; with sharded-batch NamedShardings XLA
+    still partitions automatically (GSPMD).
+  - ``axis_name='data'`` under ``shard_map`` — explicit ``jax.lax.pmean``
+    gradient collectives over ICI (SURVEY.md §2.2/§2.3), RNG decorrelated
+    per shard via ``fold_in(axis_index)``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sgg.config import Config
+from sgg.train.losses import critic_loss, generator_loss
+from sgg.train.state import GANTrainState, make_models, make_optimizers
+
+
+def tau_schedule(cfg: Config, step: jnp.ndarray) -> jnp.ndarray:
+    """Gumbel temperature: tau = max(tau_min, tau0 * exp(-rate * step))."""
+    t = cfg.train
+    return jnp.maximum(
+        t.tau_min, t.tau0 * jnp.exp(-t.tau_anneal * step.astype(jnp.float32))
+    )
+
+
+def make_step_fn(
+    cfg: Config,
+    step_mask=None,
+    axis_name: str | None = None,
+) -> Callable[[GANTrainState, dict], tuple[GANTrainState, dict]]:
+    """Build the pure (state, batch) → (state, metrics) fused update.
+
+    ``batch``: features f[n_critic+1, B, R, F], triples i32[n_critic+1, B, 3].
+    Sub-batches 0..n_critic-1 feed critic updates, the last one the generator
+    update (fresh data for every inner update, like the reference's queue).
+    """
+    gen, critic = make_models(cfg)
+    g_tx, d_tx = make_optimizers(cfg)
+    V = cfg.model.vocab_size
+    n_critic = cfg.train.n_critic
+    mask = None if step_mask is None else jnp.asarray(step_mask, bool)
+
+    def critic_apply(d_params, feats, triple):
+        return critic.apply({"params": d_params}, feats, triple)
+
+    def gen_apply(g_params, feats, z, rng, tau):
+        return gen.apply(
+            {"params": g_params}, feats, z, rng, tau=tau,
+            hard=cfg.train.hard, step_mask=mask,
+        )
+
+    def sample_fake(g_params, feats, rng, tau):
+        rng_z, rng_g = jax.random.split(rng)
+        z = jax.random.normal(
+            rng_z, (feats.shape[0], cfg.model.noise_dim), cfg.model.dtype
+        )
+        return gen_apply(g_params, feats, z, rng_g, tau)["soft"]
+
+    def d_loss_fn(d_params, g_params, feats, real_ids, rng, tau):
+        rng_f, rng_gp = jax.random.split(rng)
+        fake = jax.lax.stop_gradient(sample_fake(g_params, feats, rng_f, tau))
+        real = jax.nn.one_hot(real_ids, V, dtype=fake.dtype)
+        return critic_loss(
+            critic_apply, d_params, feats, real, fake, rng_gp,
+            gp_lambda=cfg.train.gp_lambda, drift=cfg.train.drift,
+        )
+
+    def g_loss_fn(g_params, d_params, feats, rng, tau):
+        fake = sample_fake(g_params, feats, rng, tau)
+        return generator_loss(critic_apply, d_params, feats, fake)
+
+    def maybe_pmean(tree):
+        if axis_name is None:
+            return tree
+        return jax.lax.pmean(tree, axis_name)
+
+    def step_fn(state: GANTrainState, batch: dict):
+        tau = tau_schedule(cfg, state.step)
+        rng = jax.random.fold_in(state.rng, state.step)
+        if axis_name is not None:
+            # Decorrelate noise/Gumbel draws across data shards.
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        rng_d, rng_g = jax.random.split(rng)
+
+        # ---- n_critic critic updates, scanned into one program ----
+        d_keys = jax.random.split(rng_d, n_critic)
+
+        def critic_iter(carry, inp):
+            d_params, d_opt = carry
+            feats, real_ids, key = inp
+            (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                d_params, state.g_params, feats, real_ids, key, tau
+            )
+            grads = maybe_pmean(grads)
+            updates, d_opt = d_tx.update(grads, d_opt, d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            return (d_params, d_opt), aux
+
+        (d_params, d_opt_state), d_aux = jax.lax.scan(
+            critic_iter,
+            (state.d_params, state.d_opt_state),
+            (batch["features"][:n_critic], batch["triples"][:n_critic], d_keys),
+        )
+
+        # ---- one generator update on the final fresh sub-batch ----
+        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params, d_params, batch["features"][n_critic], rng_g, tau
+        )
+        g_grads = maybe_pmean(g_grads)
+        g_updates, g_opt_state = g_tx.update(
+            g_grads, state.g_opt_state, state.g_params
+        )
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        metrics = {k: v[-1] for k, v in d_aux.items()}  # last critic iter
+        metrics.update(g_aux)
+        metrics["tau"] = tau
+        metrics = maybe_pmean(metrics)
+
+        new_state = GANTrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+            rng=state.rng,
+        )
+        return new_state, metrics
+
+    return step_fn
+
+
+def make_train_step(
+    cfg: Config,
+    step_mask=None,
+    mesh: jax.sharding.Mesh | None = None,
+    donate: bool = True,
+):
+    """Jit-compile the fused step, optionally shard_mapped over a mesh.
+
+    With a mesh, state is replicated and the batch is sharded over the
+    'data' axis; gradients are pmean'd explicitly (SURVEY.md §2.2 DP row).
+    """
+    if mesh is None:
+        fn = make_step_fn(cfg, step_mask, axis_name=None)
+        return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+    from jax.sharding import PartitionSpec as P
+
+    fn = make_step_fn(cfg, step_mask, axis_name="data")
+    replicated = P()
+    batch_spec = P(None, "data")  # [n_sub, B, ...] sharded on B
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(replicated, {"features": batch_spec, "triples": batch_spec}),
+        out_specs=(replicated, replicated),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,53 @@
+"""Integration: short training runs on synthetic data (SURVEY.md §4).
+
+Asserts the critic learns (Wasserstein estimate moves up from its initial
+value) and nothing NaNs — the "1k-subset config, 50 steps" check scaled to
+CI-friendly shapes.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from sgg.config import get_config
+from sgg.data import TripleDataset, make_train_iterator, synthetic_dataset
+from sgg.train.state import create_train_state
+from sgg.train.step import make_train_step
+
+
+@pytest.mark.parametrize("hard", [False, True])
+def test_short_training_learns_and_stays_finite(hard):
+    cfg = get_config("smoke")
+    cfg.train.hard = hard
+    cfg.train.n_critic = 2
+
+    data = synthetic_dataset(
+        num_images=cfg.data.num_synthetic_images,
+        regions=cfg.data.regions,
+        feat_dim=cfg.data.feat_dim,
+        seed=0,
+    )
+    vocab = data["vocab"]
+    cfg.model.vocab_size = len(vocab)
+
+    ds = TripleDataset(features=data["features"], triples=data["triples"])
+    it = make_train_iterator(
+        ds, cfg.train.batch_size, cfg.train.n_critic, seed=0,
+        process_index=0, process_count=1, device_put=False, prefetch=0,
+    )
+    state = create_train_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, step_mask=vocab.step_mask(), donate=False)
+
+    w_hist = []
+    for i in range(50):
+        state, metrics = step(state, next(it))
+        w = float(metrics["w_dist"])
+        assert np.isfinite(w), f"non-finite w_dist at step {i}"
+        assert np.isfinite(float(metrics["g_loss"]))
+        w_hist.append(w)
+
+    # The critic should find a positive Wasserstein estimate: real triples
+    # separate from (initially uniform-ish) fakes on the synthetic data.
+    assert np.mean(w_hist[-10:]) > np.mean(w_hist[:5]), (
+        f"critic failed to learn: {w_hist[:5]} -> {w_hist[-10:]}"
+    )

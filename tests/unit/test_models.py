@@ -1,0 +1,153 @@
+"""Unit tests for sgg.models (SURVEY.md §4: attention sums to 1, generator
+output shapes [B,3,V], critic scalar, gradient flow through discrete tokens).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgg.models import (
+    AdditiveAttention,
+    AttentionLSTMGenerator,
+    TF1LSTMCell,
+    TripleCritic,
+)
+from sgg.utils.gumbel import gumbel_softmax
+
+B, R, F, V = 4, 9, 32, 24
+
+
+@pytest.fixture(scope="module")
+def feats():
+    return jnp.asarray(np.random.RandomState(0).randn(B, R, F), jnp.float32)
+
+
+def test_tf1_lstm_matches_manual_ijfo():
+    """Cell must reproduce TF1 i,j,f,o semantics given a known kernel."""
+    hidden, inp = 3, 2
+    cell = TF1LSTMCell(hidden=hidden, forget_bias=1.0)
+    x = jnp.ones((1, inp))
+    carry = (jnp.zeros((1, hidden)), jnp.zeros((1, hidden)))
+    params = cell.init(jax.random.key(0), carry, x)
+    kernel = np.asarray(params["params"]["kernel"])
+    bias = np.asarray(params["params"]["bias"])
+
+    (c, h), out = cell.apply(params, carry, x)
+
+    concat = np.concatenate([np.ones((1, inp)), np.zeros((1, hidden))], -1)
+    gates = concat @ kernel + bias
+    i, j, f, o = np.split(gates, 4, axis=-1)
+    sig = lambda a: 1 / (1 + np.exp(-a))
+    c_ref = 0 * sig(f + 1.0) + sig(i) * np.tanh(j)
+    h_ref = np.tanh(c_ref) * sig(o)
+    np.testing.assert_allclose(np.asarray(c), c_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(h), h_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), h_ref, rtol=1e-5)
+
+
+def test_attention_weights_sum_to_one(feats):
+    attn = AdditiveAttention(attn_dim=16)
+    h = jnp.ones((B, 8))
+    variables = attn.init(jax.random.key(0), feats, h)
+    proj = attn.apply(variables, feats, method=attn.project_features)
+    ctx, alpha = attn.apply(variables, feats, h, proj)
+    # hoisted-projection path must equal the direct path
+    ctx2, alpha2 = attn.apply(variables, feats, h)
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx2), rtol=1e-6)
+    assert ctx.shape == (B, F) and alpha.shape == (B, R)
+    np.testing.assert_allclose(np.asarray(alpha.sum(-1)), np.ones(B), rtol=1e-5)
+    assert (np.asarray(alpha) >= 0).all()
+
+
+def test_gumbel_softmax_soft_and_hard():
+    rng = jax.random.key(1)
+    logits = jnp.asarray(np.random.randn(B, V), jnp.float32)
+    soft = gumbel_softmax(rng, logits, tau=0.5, hard=False)
+    np.testing.assert_allclose(np.asarray(soft.sum(-1)), np.ones(B), rtol=1e-5)
+    hard = gumbel_softmax(rng, logits, tau=0.5, hard=True)
+    h = np.asarray(hard)
+    assert ((h == 0) | (h == 1)).all() and (h.sum(-1) == 1).all()
+    # straight-through keeps gradients alive
+    g = jax.grad(lambda l: gumbel_softmax(rng, l, 0.5, hard=True).sum())(logits)
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def _gen_and_params(feats, **kw):
+    gen = AttentionLSTMGenerator(
+        vocab_size=V, hidden=32, embed_dim=16, attn_dim=16, noise_dim=8, **kw
+    )
+    z = jnp.zeros((B, 8))
+    params = gen.init(jax.random.key(0), feats, z, jax.random.key(1))
+    return gen, params, z
+
+
+def test_generator_shapes_and_simplex(feats):
+    gen, params, z = _gen_and_params(feats)
+    out = gen.apply(params, feats, z, jax.random.key(2), tau=1.0)
+    assert out["soft"].shape == (B, 3, V)
+    assert out["logits"].shape == (B, 3, V)
+    assert out["attention"].shape == (B, 3, R)
+    assert out["tokens"].shape == (B, 3)
+    np.testing.assert_allclose(
+        np.asarray(out["soft"].sum(-1)), np.ones((B, 3)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["attention"].sum(-1)), np.ones((B, 3)), rtol=1e-5
+    )
+
+
+def test_generator_step_mask_respected(feats):
+    gen, params, z = _gen_and_params(feats)
+    mask = np.zeros((3, V), bool)
+    mask[0, 2:10] = True  # subjects from {2..9}
+    mask[1, 10:14] = True  # predicates from {10..13}
+    mask[2, 2:10] = True
+    out = gen.apply(
+        params, feats, z, jax.random.key(3), tau=1.0, hard=True,
+        step_mask=jnp.asarray(mask),
+    )
+    toks = np.asarray(out["tokens"])
+    assert ((toks[:, 0] >= 2) & (toks[:, 0] < 10)).all()
+    assert ((toks[:, 1] >= 10) & (toks[:, 1] < 14)).all()
+    assert ((toks[:, 2] >= 2) & (toks[:, 2] < 10)).all()
+
+
+def test_generator_noise_changes_samples(feats):
+    gen, params, _ = _gen_and_params(feats)
+    z1 = jnp.asarray(np.random.RandomState(1).randn(B, 8), jnp.float32)
+    z2 = jnp.asarray(np.random.RandomState(2).randn(B, 8), jnp.float32)
+    o1 = gen.apply(params, feats, z1, jax.random.key(0), tau=1.0)
+    o2 = gen.apply(params, feats, z2, jax.random.key(0), tau=1.0)
+    assert not np.allclose(np.asarray(o1["logits"]), np.asarray(o2["logits"]))
+
+
+def test_critic_scalar_and_soft_vs_onehot(feats):
+    critic = TripleCritic(vocab_size=V, embed_dim=16, hidden=32, attn_dim=16)
+    onehot = jax.nn.one_hot(jnp.asarray([[2, 5, 7]] * B), V)
+    params = critic.init(jax.random.key(0), feats, onehot)
+    s = critic.apply(params, feats, onehot)
+    assert s.shape == (B,) and s.dtype == jnp.float32
+    soft = jnp.full((B, 3, V), 1.0 / V)
+    s2 = critic.apply(params, feats, soft)
+    assert s2.shape == (B,)
+    assert not np.allclose(np.asarray(s), np.asarray(s2))
+
+
+def test_gradient_flows_generator_through_critic(feats):
+    """End-to-end ∂(critic score)/∂(generator params) must be nonzero —
+    the discrete-token credit-assignment requirement (SURVEY.md §7 #1)."""
+    gen, g_params, z = _gen_and_params(feats)
+    critic = TripleCritic(vocab_size=V, embed_dim=16, hidden=32, attn_dim=16)
+    fake = gen.apply(g_params, feats, z, jax.random.key(2), tau=1.0)["soft"]
+    d_params = critic.init(jax.random.key(1), feats, fake)
+
+    def g_loss(gp):
+        out = gen.apply(gp, feats, z, jax.random.key(2), tau=1.0)
+        return -critic.apply(d_params, feats, out["soft"]).mean()
+
+    grads = jax.grad(g_loss)(g_params)
+    total = sum(
+        float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)
+    )
+    assert total > 0, "no gradient reached the generator parameters"

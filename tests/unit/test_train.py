@@ -1,0 +1,127 @@
+"""Unit tests for the WGAN-GP objective and fused train step.
+
+SURVEY.md §4: "GP term ≈0 for a linear critic (analytic check)" — for
+D(x) = w·x the gradient w.r.t. x is w everywhere, so the penalty is exactly
+(‖w‖−1)² independent of the interpolation point.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgg.config import get_config
+from sgg.train.losses import critic_loss, generator_loss, gradient_penalty
+from sgg.train.state import create_train_state, param_count
+from sgg.train.step import make_train_step, tau_schedule
+
+B, R, F, V = 8, 9, 16, 24
+
+
+def _rand_batch(rng, n_sub):
+    r = np.random.RandomState(rng)
+    return {
+        "features": jnp.asarray(r.randn(n_sub, B, R, F), jnp.float32),
+        "triples": jnp.asarray(r.randint(2, V, size=(n_sub, B, 3)), jnp.int32),
+    }
+
+
+def test_gradient_penalty_linear_critic_analytic():
+    w = np.random.RandomState(0).randn(3, V).astype(np.float32)
+
+    def critic_apply(params, feats, triple):
+        return jnp.einsum("btv,tv->b", triple, params)
+
+    real = jax.nn.one_hot(jnp.asarray(np.random.randint(0, V, (B, 3))), V)
+    fake = jnp.full((B, 3, V), 1.0 / V)
+    gp = gradient_penalty(
+        critic_apply, jnp.asarray(w), jnp.zeros((B, R, F)), real, fake,
+        jax.random.key(0),
+    )
+    expected = (np.linalg.norm(w) - 1.0) ** 2
+    np.testing.assert_allclose(float(gp), expected, rtol=1e-4)
+
+    # A critic with unit-norm weights ⇒ GP exactly 0.
+    w_unit = w / np.linalg.norm(w)
+    gp0 = gradient_penalty(
+        critic_apply, jnp.asarray(w_unit), jnp.zeros((B, R, F)), real, fake,
+        jax.random.key(1),
+    )
+    assert abs(float(gp0)) < 1e-6
+
+
+def test_critic_and_generator_loss_signs():
+    def critic_apply(params, feats, triple):
+        # scores: real triples (one-hot rows ⇒ max prob 1) score higher
+        return triple.max(axis=-1).sum(axis=-1) * params
+
+    real = jax.nn.one_hot(jnp.asarray(np.random.randint(0, V, (B, 3))), V)
+    fake = jnp.full((B, 3, V), 1.0 / V)
+    feats = jnp.zeros((B, R, F))
+    loss, aux = critic_loss(
+        critic_apply, jnp.float32(1.0), feats, real, fake, jax.random.key(0),
+        gp_lambda=0.0,
+    )
+    assert aux["w_dist"] > 0  # real scores above fake scores
+    np.testing.assert_allclose(float(loss), -float(aux["w_dist"]), rtol=1e-6)
+    g_loss, g_aux = generator_loss(critic_apply, jnp.float32(1.0), feats, fake)
+    np.testing.assert_allclose(float(g_loss), -float(g_aux["g_fake_score"]), rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def smoke_cfg():
+    cfg = get_config("smoke")
+    cfg.model.vocab_size = V
+    cfg.data.regions = R
+    cfg.data.feat_dim = F
+    cfg.train.batch_size = B
+    return cfg
+
+
+def test_tau_schedule(smoke_cfg):
+    cfg = smoke_cfg
+    cfg.train.tau0, cfg.train.tau_min, cfg.train.tau_anneal = 2.0, 0.5, 0.1
+    assert float(tau_schedule(cfg, jnp.int32(0))) == pytest.approx(2.0)
+    assert float(tau_schedule(cfg, jnp.int32(10_000))) == pytest.approx(0.5)
+    cfg.train.tau0, cfg.train.tau_min, cfg.train.tau_anneal = 1.0, 0.5, 0.0
+
+
+def test_create_state_and_fused_step(smoke_cfg):
+    state = create_train_state(smoke_cfg, jax.random.key(0))
+    assert param_count(state.g_params) > 0
+    step = make_train_step(smoke_cfg, donate=False)
+    batch = _rand_batch(0, smoke_cfg.train.n_critic + 1)
+    new_state, metrics = step(state, batch)
+    assert int(new_state.step) == 1
+    for k in ("d_loss", "g_loss", "gp", "w_dist", "real_score", "fake_score"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    # params actually moved
+    delta = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(
+            jax.tree.leaves(state.g_params), jax.tree.leaves(new_state.g_params)
+        )
+    )
+    assert delta > 0
+
+
+def test_fused_step_deterministic(smoke_cfg):
+    state = create_train_state(smoke_cfg, jax.random.key(0))
+    step = make_train_step(smoke_cfg, donate=False)
+    batch = _rand_batch(1, smoke_cfg.train.n_critic + 1)
+    _, m1 = step(state, batch)
+    _, m2 = step(state, batch)
+    np.testing.assert_allclose(float(m1["d_loss"]), float(m2["d_loss"]), rtol=1e-6)
+
+
+def test_step_mask_constrains_generated_tokens(smoke_cfg):
+    """With a step mask, generated argmax tokens stay in the legal sets even
+    through the full fused update path (mask folded into the program)."""
+    mask = np.zeros((3, V), bool)
+    mask[0, 2:12] = mask[2, 2:12] = True
+    mask[1, 12:18] = True
+    step = make_train_step(smoke_cfg, step_mask=mask, donate=False)
+    state = create_train_state(smoke_cfg, jax.random.key(0))
+    batch = _rand_batch(2, smoke_cfg.train.n_critic + 1)
+    _, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["d_loss"]))
