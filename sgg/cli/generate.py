@@ -1,0 +1,102 @@
+"""``generate-scene-graph`` entry point — sample scene graphs from a trained
+checkpoint, optionally scoring recall@k against ground truth.
+
+Reference equivalent (SURVEY.md §3.3): restore checkpoint → k noise draws per
+test image → argmax triples → dedupe/aggregate → write out. TPU redesign: all
+k samples × a whole image batch are one compiled dispatch.
+
+  python -m sgg.cli.generate --workdir /tmp/run --out graphs.json \
+      --num-samples 50 --recall-k 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from sgg.cli.common import add_platform_arg, apply_platform, load_dataset
+from sgg.config import Config
+from sgg.data.vocab import Vocab
+from sgg.eval import assemble_scene_graph, corpus_recall, make_sampler
+from sgg.train.checkpoint import CheckpointManager, load_workdir
+from sgg.train.state import create_train_state
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True, help="training run directory")
+    p.add_argument("--out", default=None, help="output JSON path (default: workdir/scene_graphs.json)")
+    p.add_argument("--num-samples", type=int, default=50, help="noise draws per image")
+    p.add_argument("--num-images", type=int, default=None, help="limit images")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--recall-k", type=int, default=None, help="also report recall@k vs ground truth")
+    p.add_argument("--seed", type=int, default=0)
+    add_platform_arg(p)
+    args = p.parse_args(argv)
+    apply_platform(args)
+
+    cfg, vocab = load_workdir(args.workdir)
+    cfg.model.vocab_size = len(vocab)
+    ds, _ = load_dataset(cfg)
+    n_images = min(args.num_images or len(ds), len(ds))
+
+    state = create_train_state(cfg, jax.random.key(0))
+    ckpt = CheckpointManager(args.workdir, cfg)
+    restored = ckpt.restore(state)
+    if restored is None:
+        print(f"[sgg.generate] no checkpoint in {args.workdir}", file=sys.stderr)
+        return 1
+    state = restored
+    print(f"[sgg.generate] restored step {int(state.step)}", flush=True)
+
+    sampler = make_sampler(
+        cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples
+    )
+    rng = jax.random.key(args.seed)
+
+    graphs, gen_triples, gt_triples = [], [], []
+    B = args.batch_size
+    t0 = time.perf_counter()
+    n_sampled = 0
+    for lo in range(0, n_images, B):
+        idx = np.arange(lo, min(lo + B, n_images))
+        feats = ds.features[idx]
+        if feats.shape[0] < B:  # pad to the compiled batch shape
+            pad = np.repeat(feats[-1:], B - feats.shape[0], axis=0)
+            feats = np.concatenate([feats, pad], axis=0)
+        rng, sub = jax.random.split(rng)
+        tokens = np.asarray(sampler(state.g_params, feats, sub))  # [B, K, 3]
+        for j, i in enumerate(idx):
+            g = assemble_scene_graph(tokens[j], vocab, image_id=int(i))
+            graphs.append(g)
+            gen_triples.append(
+                [(vocab.id(t["subject"]), vocab.id(t["predicate"]), vocab.id(t["object"]))
+                 for t in g["triples"]]
+            )
+            gt_triples.append([tuple(map(int, t)) for t in ds.triples[i]])
+            n_sampled += tokens.shape[1]
+    dt = time.perf_counter() - t0
+
+    out_path = args.out or os.path.join(args.workdir, "scene_graphs.json")
+    with open(out_path, "w") as f:
+        json.dump({"num_images": n_images, "scene_graphs": graphs}, f, indent=2)
+    triples_per_sec = n_sampled / dt if dt > 0 else 0.0
+    print(
+        f"[sgg.generate] {n_images} images, {n_sampled} triples in {dt:.2f}s "
+        f"({triples_per_sec:.0f} triples/sec) → {out_path}",
+        flush=True,
+    )
+    if args.recall_k:
+        r = corpus_recall(gen_triples, gt_triples, k=args.recall_k)
+        print(f"[sgg.generate] recall@{args.recall_k} = {r:.4f}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

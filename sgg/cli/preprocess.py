@@ -1,0 +1,168 @@
+"""``preprocess`` entry point — VG filtering, vocab build, feature extraction.
+
+Reference equivalent (SURVEY.md §3.1): parse relationships.json, filter
+images, build the vocabulary, run each image through the conv backbone, and
+write feature+triple shards. Output layout:
+
+  out_dir/vocab.json
+  out_dir/shard-00000-of-000NN.npz   (train split)
+  out_dir/test/shard-*.npz           (held-out split)
+
+Modes:
+  --synthetic N        synthetic dataset (tests/benchmarks; no VG needed)
+  --vg-dir DIR         real VG JSON; features from --encoder:
+      vgg19            JAX VGG-19 over images (requires --image-dir and,
+                       optionally, --vgg-weights .npy for pretrained weights)
+      random           random features (pipeline smoke without images)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from sgg.data import (
+    Vocab,
+    build_vocab_from_relationships,
+    filter_and_encode,
+    parse_relationships,
+    synthetic_dataset,
+    write_feature_shard,
+)
+from sgg.data.shards import shard_name
+from sgg.data.vg import train_test_split
+
+
+def _write_split(out_dir, image_ids, feats, triples, shard_size):
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(image_ids)
+    total = max(1, -(-n // shard_size))
+    for s in range(total):
+        lo, hi = s * shard_size, min((s + 1) * shard_size, n)
+        write_feature_shard(
+            os.path.join(out_dir, shard_name(s, total)),
+            np.asarray(image_ids[lo:hi], np.int32),
+            feats[lo:hi],
+            triples[lo:hi],
+        )
+    return total
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--synthetic", type=int, default=None, metavar="N",
+                   help="generate N synthetic images instead of reading VG")
+    p.add_argument("--vg-dir", default=None, help="directory with relationships.json")
+    p.add_argument("--image-dir", default=None, help="directory with VG JPEGs")
+    p.add_argument("--encoder", default="vgg19", choices=["vgg19", "random"])
+    p.add_argument("--vgg-weights", default=None, help=".npy weight dict for VGG-19")
+    p.add_argument("--max-objects", type=int, default=None)
+    p.add_argument("--max-predicates", type=int, default=None)
+    p.add_argument("--min-count", type=int, default=2)
+    p.add_argument("--min-triples", type=int, default=1)
+    p.add_argument("--max-triples-per-image", type=int, default=32)
+    p.add_argument("--test-fraction", type=float, default=0.1)
+    p.add_argument("--shard-size", type=int, default=1024)
+    p.add_argument("--regions", type=int, default=196)
+    p.add_argument("--feat-dim", type=int, default=512)
+    p.add_argument("--batch-size", type=int, default=32, help="encoder batch")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.synthetic is not None:
+        data = synthetic_dataset(
+            num_images=args.synthetic, regions=args.regions,
+            feat_dim=args.feat_dim, seed=args.seed,
+        )
+        vocab = data["vocab"]
+        vocab.save(os.path.join(args.out_dir, "vocab.json"))
+        ids = list(range(args.synthetic))
+        triples = [t for t in data["triples"]]
+        n_test = int(round(args.synthetic * args.test_fraction))
+        tr = slice(0, args.synthetic - n_test)
+        te = slice(args.synthetic - n_test, args.synthetic)
+        n_shards = _write_split(
+            args.out_dir, ids[tr], data["features"][tr], triples[tr], args.shard_size
+        )
+        if n_test:
+            _write_split(
+                os.path.join(args.out_dir, "test"), ids[te],
+                data["features"][te], triples[te], args.shard_size,
+            )
+        print(
+            f"[sgg.preprocess] synthetic: {args.synthetic} images, "
+            f"vocab={len(vocab)}, {n_shards} train shard(s) → {args.out_dir}",
+            flush=True,
+        )
+        return 0
+
+    if not args.vg_dir:
+        p.error("either --synthetic N or --vg-dir is required")
+    rel_path = os.path.join(args.vg_dir, "relationships.json")
+    if not os.path.exists(rel_path):
+        print(f"[sgg.preprocess] missing {rel_path}", file=sys.stderr)
+        return 1
+
+    print(f"[sgg.preprocess] parsing {rel_path} …", flush=True)
+    images = parse_relationships(rel_path)
+    vocab = build_vocab_from_relationships(
+        images, max_objects=args.max_objects,
+        max_predicates=args.max_predicates, min_count=args.min_count,
+    )
+    ids, enc = filter_and_encode(
+        images, vocab, min_triples=args.min_triples,
+        max_triples_per_image=args.max_triples_per_image,
+    )
+    vocab.save(os.path.join(args.out_dir, "vocab.json"))
+    print(
+        f"[sgg.preprocess] kept {len(ids)}/{len(images)} images, vocab={len(vocab)}",
+        flush=True,
+    )
+
+    if args.encoder == "random":
+        rng = np.random.RandomState(args.seed)
+        feats = rng.randn(len(ids), args.regions, args.feat_dim).astype(np.float32)
+    else:
+        if not args.image_dir:
+            print(
+                "[sgg.preprocess] --encoder vgg19 requires --image-dir "
+                "(use --encoder random for a pipeline smoke)",
+                file=sys.stderr,
+            )
+            return 1
+        from sgg.data.extract import extract_vgg_features
+
+        feats = extract_vgg_features(
+            image_ids=ids, image_dir=args.image_dir,
+            weights_path=args.vgg_weights, batch_size=args.batch_size,
+        )
+
+    train_ids, test_ids = train_test_split(ids, args.test_fraction, args.seed)
+    pos = {im: i for i, im in enumerate(ids)}
+    tr_idx = [pos[i] for i in train_ids]
+    te_idx = [pos[i] for i in test_ids]
+    n_shards = _write_split(
+        args.out_dir, train_ids, feats[tr_idx], [enc[i] for i in tr_idx],
+        args.shard_size,
+    )
+    if te_idx:
+        _write_split(
+            os.path.join(args.out_dir, "test"), test_ids, feats[te_idx],
+            [enc[i] for i in te_idx], args.shard_size,
+        )
+    print(
+        f"[sgg.preprocess] wrote {n_shards} train shard(s), "
+        f"{len(test_ids)} test images → {args.out_dir}",
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

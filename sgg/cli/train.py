@@ -1,0 +1,124 @@
+"""``train`` entry point — adversarial training with the fused WGAN-GP step.
+
+Reference equivalent: ``main.py`` (SURVEY.md §2.1 #7, §3.2). Differences by
+design (§3.4): the whole GAN iteration is ONE compiled dispatch; data arrives
+through a prefetching host-sharded iterator; checkpoints are orbax with
+auto-resume; metrics go through clu writers with first-class throughput.
+
+  python -m sgg.cli.train --config vg1k --workdir /tmp/run \
+      --set train.total_steps=2000
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+
+from sgg.cli.common import (
+    add_config_args,
+    apply_platform,
+    load_dataset,
+    resolve_config,
+)
+from sgg.data import make_train_iterator
+from sgg.dist import (
+    MeshSpec,
+    batch_sharding,
+    initialize_multihost,
+    make_mesh,
+    replicated_sharding,
+)
+from sgg.train.checkpoint import CheckpointManager
+from sgg.train.metrics import MetricLogger
+from sgg.train.state import create_train_state, param_count
+from sgg.train.step import make_train_step
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_config_args(p)
+    p.add_argument("--steps", type=int, default=None, help="override total_steps")
+    args = p.parse_args(argv)
+
+    apply_platform(args)
+    initialize_multihost()
+    cfg = resolve_config(args)
+    if args.steps is not None:
+        cfg.train.total_steps = args.steps
+
+    ds, vocab = load_dataset(cfg)
+    cfg.model.vocab_size = len(vocab)
+    print(
+        f"[sgg.train] config={cfg.name} images={len(ds)} vocab={len(vocab)} "
+        f"devices={jax.device_count()} processes={jax.process_count()}",
+        flush=True,
+    )
+
+    # Mesh: shard over 'data' whenever >1 device is visible.
+    mesh = None
+    sharding = None
+    if jax.device_count() > 1:
+        mesh = make_mesh(MeshSpec(data=cfg.mesh.data, model=cfg.mesh.model))
+        sharding = batch_sharding(mesh)
+        print(f"[sgg.train] mesh={dict(mesh.shape)}", flush=True)
+
+    ckpt = CheckpointManager(
+        cfg.workdir, cfg, max_to_keep=cfg.train.max_checkpoints
+    )
+    ckpt.save_vocab(vocab)
+
+    state = create_train_state(cfg, jax.random.key(cfg.train.seed))
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        print(f"[sgg.train] resumed from step {int(state.step)}", flush=True)
+    if mesh is not None:
+        # Restored (or freshly created) arrays are committed to one device;
+        # replicate them over the mesh so they compose with sharded batches.
+        state = jax.device_put(state, replicated_sharding(mesh))
+    print(
+        f"[sgg.train] params: G={param_count(state.g_params):,} "
+        f"D={param_count(state.d_params):,}",
+        flush=True,
+    )
+
+    step_fn = make_train_step(cfg, step_mask=vocab.step_mask(), mesh=mesh)
+    it = make_train_iterator(
+        ds,
+        cfg.train.batch_size,
+        cfg.train.n_critic,
+        seed=cfg.train.seed,
+        sharding=sharding,
+    )
+    logger = MetricLogger(cfg.workdir)
+    # images consumed per fused step across all processes
+    images_per_step = (
+        cfg.train.batch_size * (cfg.train.n_critic + 1) * jax.process_count()
+    )
+
+    start = int(state.step)
+    for _ in range(start, cfg.train.total_steps):
+        state, metrics = step_fn(state, next(it))
+        step = int(state.step)
+        if step % cfg.train.log_every == 0 or step == cfg.train.total_steps:
+            scalars = logger.log(step, metrics, images_per_step=images_per_step)
+            msg = " ".join(
+                f"{k}={scalars[k]:.4f}"
+                for k in ("d_loss", "g_loss", "w_dist", "gp")
+                if k in scalars
+            )
+            ips = scalars.get("images_per_sec_per_chip")
+            ips_s = f" img/s/chip={ips:.1f}" if ips else ""
+            print(f"[sgg.train] step {step}: {msg}{ips_s}", flush=True)
+        if step % cfg.train.checkpoint_every == 0 or step == cfg.train.total_steps:
+            ckpt.save(state)
+    ckpt.close()
+    logger.close()
+    print(f"[sgg.train] done at step {int(state.step)} → {cfg.workdir}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

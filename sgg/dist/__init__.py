@@ -1,0 +1,26 @@
+"""sgg.dist — device meshes, sharding rules, collectives, multi-host init.
+
+The TPU-native communication layer (SURVEY.md §2.2–§2.3): the reference has
+no distributed backend at all; here every parallelism strategy is expressed
+as a mesh axis + sharding rule, and XLA compiles the collectives (psum /
+all_gather / reduce_scatter / ppermute / all_to_all) over ICI and DCN.
+"""
+
+from sgg.dist.mesh import (
+    MeshSpec,
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    local_batch_size,
+)
+from sgg.dist.multihost import initialize_multihost, process_shard_info
+
+__all__ = [
+    "MeshSpec",
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "local_batch_size",
+    "initialize_multihost",
+    "process_shard_info",
+]

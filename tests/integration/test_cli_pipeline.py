@@ -1,0 +1,75 @@
+"""End-to-end smoke of the three public entry points (SURVEY.md §4):
+preprocess → train → generate on synthetic data, including auto-resume.
+"""
+
+import json
+import os
+
+import pytest
+
+from sgg.cli import generate as cli_generate
+from sgg.cli import preprocess as cli_preprocess
+from sgg.cli import train as cli_train
+
+
+@pytest.fixture(scope="module")
+def pipedir(tmp_path_factory):
+    return tmp_path_factory.mktemp("pipe")
+
+
+def _train_args(pipedir, steps):
+    return [
+        "--config", "smoke",
+        "--workdir", str(pipedir / "run"),
+        "--set", "data.source=shards",
+        "--set", f"data.data_dir={pipedir / 'data'}",
+        "--set", "data.regions=9",
+        "--set", "data.feat_dim=16",
+        "--set", "train.checkpoint_every=5",
+        "--steps", str(steps),
+    ]
+
+
+def test_preprocess_synthetic(pipedir):
+    rc = cli_preprocess.main(
+        ["--out-dir", str(pipedir / "data"), "--synthetic", "64",
+         "--regions", "9", "--feat-dim", "16"]
+    )
+    assert rc == 0
+    assert (pipedir / "data" / "vocab.json").exists()
+    assert (pipedir / "data" / "shard-00000-of-00001.npz").exists()
+    assert (pipedir / "data" / "test").is_dir()
+
+
+def test_train_and_resume(pipedir):
+    assert cli_train.main(_train_args(pipedir, 5)) == 0
+    assert (pipedir / "run" / "config.json").exists()
+    assert (pipedir / "run" / "vocab.json").exists()
+    # resume continues rather than restarting
+    assert cli_train.main(_train_args(pipedir, 8)) == 0
+
+
+def test_generate_scene_graphs(pipedir):
+    out = str(pipedir / "graphs.json")
+    rc = cli_generate.main(
+        ["--workdir", str(pipedir / "run"), "--out", out,
+         "--num-samples", "8", "--num-images", "6", "--batch-size", "4",
+         "--recall-k", "10"]
+    )
+    assert rc == 0
+    d = json.load(open(out))
+    assert d["num_images"] == 6
+    assert len(d["scene_graphs"]) == 6
+    g = d["scene_graphs"][0]["triples"]
+    assert g and {"subject", "predicate", "object", "count"} <= set(g[0])
+    # aggregate sample counts equal the draw count
+    assert sum(t["count"] for t in g) == 8
+
+
+def test_generate_without_checkpoint_fails_cleanly(pipedir, tmp_path):
+    wd = tmp_path / "empty_run"
+    os.makedirs(wd / "checkpoints", exist_ok=True)
+    (wd / "config.json").write_text((pipedir / "run" / "config.json").read_text())
+    (wd / "vocab.json").write_text((pipedir / "run" / "vocab.json").read_text())
+    rc = cli_generate.main(["--workdir", str(wd)])
+    assert rc == 1
