@@ -1,0 +1,136 @@
+"""Benchmark harness — headline metric for the driver.
+
+Measures GAN train images/sec/chip (BASELINE.json:2) on the vg1k-equivalent
+config ([B:7]: 196×512 precomputed features, batch 32, n_critic 5) using the
+fused WGAN-GP train step, on whatever platform JAX selects (the real TPU
+chip under the driver).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is measured against the reference-equivalent config run on
+CPU (BASELINE.md: the reference publishes no numbers, so the rebuild must
+measure its own CPU denominator). The CPU number is measured once in a
+subprocess and cached in ``.bench_cpu_baseline.json``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CPU_CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
+
+# vg1k-equivalent benchmark shapes [B:7]
+REGIONS, FEAT_DIM, VOCAB = 196, 512, 1024
+BATCH, N_CRITIC = 32, 5
+
+
+def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BATCH):
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sgg.config import get_config
+    from sgg.train.state import create_train_state
+    from sgg.train.step import make_train_step
+
+    cfg = get_config("vg1k")
+    cfg.model.vocab_size = VOCAB
+    cfg.data.regions, cfg.data.feat_dim = REGIONS, FEAT_DIM
+    cfg.train.batch_size, cfg.train.n_critic = batch_size, N_CRITIC
+    if jax.default_backend() != "cpu":
+        cfg.model.compute_dtype = "bfloat16"
+
+    n_sub = N_CRITIC + 1
+    r = np.random.RandomState(0)
+    batch = {
+        "features": jnp.asarray(
+            r.randn(n_sub, batch_size, REGIONS, FEAT_DIM), cfg.model.dtype
+        ),
+        "triples": jnp.asarray(
+            r.randint(2, VOCAB, (n_sub, batch_size, 3)), jnp.int32
+        ),
+    }
+    state = create_train_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, donate=False)
+
+    for _ in range(warmup):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    images = steps * batch_size * n_sub
+    ips = images / dt
+    return ips / max(1, jax.local_device_count()), dt / steps
+
+
+def cpu_baseline(refresh: bool = False) -> float:
+    if not refresh and os.path.exists(CPU_CACHE):
+        with open(CPU_CACHE) as f:
+            return json.load(f)["images_per_sec_per_chip"]
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+        capture_output=True, text=True, cwd=REPO, timeout=1800,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"cpu baseline failed:\n{out.stderr[-2000:]}")
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)["images_per_sec_per_chip"]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--cpu-baseline", action="store_true",
+                   help="measure the CPU denominator and write the cache file")
+    p.add_argument("--refresh-baseline", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu_baseline:
+        ips, sec = measure(steps=5, warmup=2, platform="cpu")
+        payload = {"images_per_sec_per_chip": ips, "sec_per_step": sec}
+        with open(CPU_CACHE, "w") as f:
+            json.dump(payload, f)
+        print(json.dumps(payload))
+        return 0
+
+    ips, sec = measure(steps=args.steps, warmup=args.warmup, platform=None)
+    try:
+        base = cpu_baseline(refresh=args.refresh_baseline)
+        vs = ips / base if base > 0 else None
+    except Exception as e:
+        print(f"[bench] cpu baseline unavailable: {e}", file=sys.stderr)
+        vs = None
+    print(
+        json.dumps(
+            {
+                "metric": "gan_train_images_per_sec_per_chip",
+                "value": round(ips, 2),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, REPO)
+    sys.exit(main())

@@ -1,0 +1,95 @@
+"""Fused conv+ReLU / conv+BN+ReLU via im2col + the fused matmul kernel.
+
+SURVEY.md §7 ("Pallas conv kernels … fall back strategy: im2col +
+fused-matmul formulation"): on TPU the MXU wants big matmuls, so the conv is
+lowered to patch extraction (an XLA data-movement op that fuses upstream)
+followed by ONE Pallas fused matmul that applies bias, folded batch-norm,
+and ReLU in its epilogue. This matches how XLA itself lowers convs on TPU,
+but with the epilogue guaranteed fused and the accumulation dtype pinned.
+
+Layout: NHWC activations, HWIO weights (TPU-native).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from sgg.kernels.matmul import fused_matmul, fused_matmul_reference
+
+
+def _im2col(x: jnp.ndarray, kh: int, kw: int, stride: int, padding: str):
+    """[B,H,W,C] → patches [B*Ho*Wo, kh*kw*C] matching HWIO weight layout."""
+    B, H, W, C = x.shape
+    patches = jax.lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(kh, kw),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, Ho, Wo, C*kh*kw] with feature-major ordering (C, kh, kw)
+    Ho, Wo = patches.shape[1], patches.shape[2]
+    # conv_general_dilated_patches orders the feature dim as (C, kh, kw);
+    # reorder to (kh, kw, C) to match a reshaped HWIO kernel.
+    p = patches.reshape(B, Ho, Wo, C, kh * kw)
+    p = jnp.moveaxis(p, 3, -1)  # [..., kh*kw, C]
+    return p.reshape(B * Ho * Wo, kh * kw * C), (B, Ho, Wo)
+
+
+def conv2d_fused(
+    x: jnp.ndarray,  # [B, H, W, Cin]
+    w: jnp.ndarray,  # [kh, kw, Cin, Cout] (HWIO)
+    bias: jnp.ndarray | None = None,  # [Cout]
+    scale: jnp.ndarray | None = None,  # [Cout] folded-BN scale
+    stride: int = 1,
+    padding: str = "SAME",
+    relu: bool = True,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """relu(scale · conv(x, w) + bias) with the epilogue fused into the matmul."""
+    kh, kw, Cin, Cout = w.shape
+    cols, (B, Ho, Wo) = _im2col(x, kh, kw, stride, padding)
+    w2 = w.reshape(kh * kw * Cin, Cout)
+    mm = fused_matmul if use_pallas else fused_matmul_reference
+    y = mm(cols, w2, bias=bias, scale=scale, relu=relu, out_dtype=x.dtype)
+    return y.reshape(B, Ho, Wo, Cout)
+
+
+def conv2d_reference(
+    x, w, bias=None, scale=None, stride=1, padding="SAME", relu=True
+):
+    """Direct lax.conv reference for parity tests."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.float32),
+        w.astype(jnp.float32),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if scale is not None:
+        y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+def fold_batchnorm(
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    mean: jnp.ndarray,
+    var: jnp.ndarray,
+    conv_bias: jnp.ndarray | None = None,
+    eps: float = 1e-5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold inference-time BN into the fused epilogue's (scale, bias).
+
+    BN(conv(x)+b) = gamma·(conv(x)+b−mean)/sqrt(var+eps) + beta
+                  = scale·conv(x) + bias
+    """
+    inv = gamma * jax.lax.rsqrt(var + eps)
+    b = beta - mean * inv
+    if conv_bias is not None:
+        b = b + conv_bias * inv
+    return inv, b

@@ -1,0 +1,149 @@
+"""Blockwise flash-attention Pallas kernel (online softmax).
+
+SURVEY.md §2.1 / BASELINE.json:10: flash-attention over ViT patch tokens —
+the S×S score matrix never materializes in HBM; each (batch·head, q-block)
+program streams K/V blocks through VMEM, maintaining the running max /
+normalizer / accumulator of the online-softmax recurrence in f32 scratch.
+
+Forward is the Pallas kernel; backward is a ``custom_vjp`` that recomputes
+attention with the jax.lax reference (exact same math, XLA-fused) — the
+standard remat trade: no S×S residuals saved from the forward.
+Non-TPU backends run the kernel in interpreter mode for parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, s_len, tk):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (TQ, D)
+    k = k_ref[0]  # (TK, D)
+    v = v_ref[0]  # (TK, D)
+    s = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # (TQ, TK)
+    # Mask keys beyond the true sequence length (zero-padded K/V tail).
+    col = kb * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < s_len, s, _NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)  # (TQ, TK) f32
+    alpha = jnp.exp(m_prev - m_new)  # (TQ, 1)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+        p, v.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    m_ref[:] = m_new
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _fa_forward(q, k, v, scale, block_q, block_k):
+    B, H, S, D = q.shape
+    BH = B * H
+    q3 = q.reshape(BH, S, D)
+    k3 = k.reshape(BH, S, D)
+    v3 = v.reshape(BH, S, D)
+
+    tq = min(block_q, _round_up(S, 8))
+    tk = min(block_k, _round_up(S, 128))
+    Sq = _round_up(S, tq)
+    Sk = _round_up(S, tk)
+    q3 = jnp.pad(q3, ((0, 0), (0, Sq - S), (0, 0)))
+    k3 = jnp.pad(k3, ((0, 0), (0, Sk - S), (0, 0)))
+    v3 = jnp.pad(v3, ((0, 0), (0, Sk - S), (0, 0)))
+
+    grid = (BH, Sq // tq, Sk // tk)
+    out = pl.pallas_call(
+        functools.partial(_fa_kernel, scale=scale, s_len=S, tk=tk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq, D), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+            pltpu.VMEM((tq, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Sq * Sk * D,
+            bytes_accessed=3 * BH * Sq * D * q.dtype.itemsize,
+            transcendentals=BH * Sq * Sk,
+        ),
+        interpret=_interpret(),
+    )(q3, k3, v3)
+    return out[:, :S, :].reshape(B, H, S, D)
+
+
+def attention_reference(q, k, v, scale=None):
+    """Unfused reference: softmax(q·kᵀ·scale)·v in f32 (parity target)."""
+    D = q.shape[-1]
+    scale = (D**-0.5) if scale is None else scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention(
+    q: jnp.ndarray,  # [B, H, S, D]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    """Memory-efficient attention: O(S) HBM traffic per query block."""
+    D = q.shape[-1]
+    return _fa_forward(q, k, v, (D**-0.5) if scale is None else scale, block_q, block_k)
+
+
+def _fa_fwd(q, k, v, scale, block_q, block_k):
+    out = flash_attention(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v)
+
+
+def _fa_bwd(scale, block_q, block_k, res, g):
+    q, k, v = res
+    # Rematerialized backward through the reference formulation.
+    _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fa_fwd, _fa_bwd)

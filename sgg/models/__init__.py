@@ -9,6 +9,11 @@ from sgg.models.lstm import TF1LSTMCell
 from sgg.models.attention import AdditiveAttention
 from sgg.models.generator import AttentionLSTMGenerator, TRIPLE_LEN
 from sgg.models.discriminator import TripleCritic
+from sgg.models.transformer import TransformerTripleGenerator
+from sgg.models.vgg import VGG19Features, load_npy_weights, vgg_preprocess
+from sgg.models.resnet import ResNet50Features
+from sgg.models.vit import ViTB16Features
+from sgg.models.encoders import make_encoder
 
 __all__ = [
     "TF1LSTMCell",
@@ -16,4 +21,11 @@ __all__ = [
     "AttentionLSTMGenerator",
     "TRIPLE_LEN",
     "TripleCritic",
+    "TransformerTripleGenerator",
+    "VGG19Features",
+    "load_npy_weights",
+    "vgg_preprocess",
+    "ResNet50Features",
+    "ViTB16Features",
+    "make_encoder",
 ]

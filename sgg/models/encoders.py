@@ -1,0 +1,32 @@
+"""Encoder factory: config name → frozen backbone module.
+
+One switch point for the backbone swaps of BASELINE.json configs 2–4.
+``precomputed`` means the data pipeline already carries features (the
+reference's default: VGG features extracted at preprocess time).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def make_encoder(
+    name: str, use_pallas: bool = False, dtype: jnp.dtype = jnp.float32
+) -> nn.Module | None:
+    """Returns the feature-extractor module, or None for 'precomputed'."""
+    if name == "precomputed":
+        return None
+    if name == "vgg19":
+        from sgg.models.vgg import VGG19Features
+
+        return VGG19Features(use_pallas=use_pallas, dtype=dtype)
+    if name == "resnet50":
+        from sgg.models.resnet import ResNet50Features
+
+        return ResNet50Features(use_pallas=use_pallas, dtype=dtype)
+    if name == "vit_b16":
+        from sgg.models.vit import ViTB16Features
+
+        return ViTB16Features(use_pallas=use_pallas, dtype=dtype)
+    raise ValueError(f"unknown encoder {name!r}")

@@ -1,0 +1,123 @@
+"""Transformer triple decoder (the modern counterpart of the LSTM decoder).
+
+BASELINE.json:10: transformer triple decoder paired with the ViT encoder.
+TPU-first redesign rather than a port: the (subject, predicate, object)
+positions are THREE learned slot queries decoded in parallel — one fused
+pass of self-attention (3 tokens) + cross-attention over the patch tokens
+per layer — instead of a sequential 3-step RNN. Slot conditioning on the
+noise vector keeps the GAN's sample diversity; per-slot type masks keep
+triples well-formed. Matches the AttentionLSTMGenerator interface exactly,
+so the fused train step and sampler are decoder-agnostic.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sgg.models.generator import TRIPLE_LEN
+from sgg.utils.gumbel import gumbel_softmax
+
+
+class _CrossAttention(nn.Module):
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_tokens, kv):  # [B,3,E], [B,R,E] → ([B,3,E], [B,3,R])
+        B, T, E = q_tokens.shape
+        H = self.num_heads
+        D = E // H
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        q = nn.Dense(E, name="q", **kw)(q_tokens).reshape(B, T, H, D)
+        k = nn.Dense(E, name="k", **kw)(kv).reshape(B, -1, H, D)
+        v = nn.Dense(E, name="v", **kw)(kv).reshape(B, -1, H, D)
+        s = jnp.einsum("bthd,brhd->bhtr", q, k) * (D**-0.5)
+        a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhtr,brhd->bthd", a, v).reshape(B, T, E)
+        return nn.Dense(E, name="out", **kw)(o), a.mean(axis=1)  # head-avg map
+
+
+class TransformerTripleGenerator(nn.Module):
+    vocab_size: int
+    hidden: int = 512  # decoder width
+    embed_dim: int = 256  # token embedding width (critic-compatible)
+    noise_dim: int = 128
+    num_heads: int = 8
+    num_layers: int = 4
+    mlp_ratio: int = 4
+    use_pallas: bool = False  # reserved: cross-attn q-len is 3 (no flash win)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: jnp.ndarray,  # [B, R, F]
+        z: jnp.ndarray,  # [B, noise_dim]
+        rng: jax.Array,
+        tau: float | jnp.ndarray = 1.0,
+        hard: bool = False,
+        step_mask: jnp.ndarray | None = None,
+    ) -> dict[str, jnp.ndarray]:
+        feats = feats.astype(self.dtype)
+        z = z.astype(self.dtype)
+        B = feats.shape[0]
+        E = self.hidden
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+
+        kv = nn.Dense(E, name="feat_proj", **kw)(feats)  # [B, R, E]
+
+        slots = self.param(
+            "slot_embed", nn.initializers.normal(0.02), (1, TRIPLE_LEN, E),
+            self.param_dtype,
+        ).astype(self.dtype)
+        zc = nn.Dense(E, name="noise_proj", **kw)(z)[:, None, :]
+        x = jnp.broadcast_to(slots, (B, TRIPLE_LEN, E)) + zc
+
+        attn_map = None
+        for i in range(self.num_layers):
+            y = nn.LayerNorm(name=f"ln_self{i}", **kw)(x)
+            qkv = nn.Dense(3 * E, name=f"self_qkv{i}", **kw)(y)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            H = self.num_heads
+            D = E // H
+            s = jnp.einsum(
+                "bthd,bshd->bhts",
+                q.reshape(B, TRIPLE_LEN, H, D),
+                k.reshape(B, TRIPLE_LEN, H, D),
+            ) * (D**-0.5)
+            a = jax.nn.softmax(s.astype(jnp.float32), -1).astype(self.dtype)
+            sa = jnp.einsum(
+                "bhts,bshd->bthd", a, v.reshape(B, TRIPLE_LEN, H, D)
+            ).reshape(B, TRIPLE_LEN, E)
+            x = x + nn.Dense(E, name=f"self_out{i}", **kw)(sa)
+
+            y = nn.LayerNorm(name=f"ln_cross{i}", **kw)(x)
+            ca, attn_map = _CrossAttention(
+                self.num_heads, name=f"cross{i}", dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(y, kv)
+            x = x + ca
+
+            y = nn.LayerNorm(name=f"ln_mlp{i}", **kw)(x)
+            h = nn.gelu(nn.Dense(E * self.mlp_ratio, name=f"mlp1_{i}", **kw)(y))
+            x = x + nn.Dense(E, name=f"mlp2_{i}", **kw)(h)
+
+        x = nn.LayerNorm(name="ln_out", **kw)(x)
+        logits = nn.Dense(self.vocab_size, name="vocab_proj", **kw)(x)  # [B,3,V]
+        if step_mask is not None:
+            m = jnp.asarray(step_mask, bool)[None, :, :]
+            logits = jnp.where(m, logits, jnp.asarray(-1e9, logits.dtype))
+
+        y = gumbel_softmax(
+            rng, logits.astype(jnp.float32), tau=tau, hard=hard
+        ).astype(self.dtype)
+        return {
+            "soft": y,
+            "logits": logits,
+            "attention": attn_map,  # last layer's head-avg cross-attn [B,3,R]
+            "tokens": jnp.argmax(y, axis=-1),
+        }

@@ -1,0 +1,110 @@
+"""Pallas kernel parity tests vs jax.lax references (SURVEY.md §4).
+
+On CPU the kernels run in Pallas interpreter mode — the same kernel code
+path that compiles via Mosaic on TPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgg.kernels import conv2d_fused, flash_attention, fold_batchnorm, fused_matmul
+from sgg.kernels.conv import conv2d_reference
+from sgg.kernels.flash_attention import attention_reference
+from sgg.kernels.matmul import fused_matmul_reference
+
+
+@pytest.mark.parametrize("m,k,n", [(64, 32, 48), (200, 300, 130), (8, 512, 128)])
+def test_fused_matmul_parity(m, k, n):
+    r = np.random.RandomState(0)
+    a = jnp.asarray(r.randn(m, k), jnp.float32)
+    b = jnp.asarray(r.randn(k, n), jnp.float32)
+    bias = jnp.asarray(r.randn(n), jnp.float32)
+    scale = jnp.asarray(r.rand(n) + 0.5, jnp.float32)
+    got = fused_matmul(a, b, bias=bias, scale=scale, relu=True)
+    want = fused_matmul_reference(a, b, bias=bias, scale=scale, relu=True)
+    # rtol accounts for f32 accumulation-order differences at K=300+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_matmul_no_epilogue():
+    r = np.random.RandomState(1)
+    a = jnp.asarray(r.randn(33, 65), jnp.float32)
+    b = jnp.asarray(r.randn(65, 17), jnp.float32)
+    got = fused_matmul(a, b)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(a @ b), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,kern,stride,padding",
+    [
+        ((2, 16, 16, 8), 3, 1, "SAME"),
+        ((2, 15, 15, 4), 3, 2, "SAME"),
+        ((1, 14, 14, 8), 1, 1, "SAME"),
+        ((2, 16, 16, 3), 3, 1, "VALID"),
+        ((1, 17, 13, 5), 5, 2, "VALID"),
+    ],
+)
+def test_conv2d_fused_parity(shape, kern, stride, padding):
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(*shape), jnp.float32)
+    w = jnp.asarray(r.randn(kern, kern, shape[-1], 16) * 0.1, jnp.float32)
+    bias = jnp.asarray(r.randn(16), jnp.float32)
+    got = conv2d_fused(x, w, bias=bias, stride=stride, padding=padding, relu=True)
+    want = conv2d_reference(x, w, bias=bias, stride=stride, padding=padding, relu=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_conv_bn_relu_folding():
+    r = np.random.RandomState(2)
+    x = jnp.asarray(r.randn(2, 8, 8, 4), jnp.float32)
+    w = jnp.asarray(r.randn(3, 3, 4, 8) * 0.2, jnp.float32)
+    gamma = jnp.asarray(r.rand(8) + 0.5, jnp.float32)
+    beta = jnp.asarray(r.randn(8), jnp.float32)
+    mean = jnp.asarray(r.randn(8), jnp.float32)
+    var = jnp.asarray(r.rand(8) + 0.1, jnp.float32)
+
+    scale, bias = fold_batchnorm(gamma, beta, mean, var)
+    got = conv2d_fused(x, w, bias=bias, scale=scale, relu=True)
+
+    y = conv2d_reference(x, w, bias=None, relu=False)
+    want = jnp.maximum(
+        gamma * (y - mean) * jax.lax.rsqrt(var + 1e-5) + beta, 0.0
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "b,h,s,d", [(1, 2, 64, 32), (2, 4, 196, 64), (1, 1, 100, 32)]
+)
+def test_flash_attention_parity(b, h, s, d):
+    r = np.random.RandomState(0)
+    q = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    got = flash_attention(q, k, v, None, 64, 64)
+    want = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_gradients_match_reference():
+    r = np.random.RandomState(1)
+    b, h, s, d = 1, 2, 48, 16
+    q = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, None, 32, 32) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (attention_reference(q, k, v) ** 2).sum()
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
