@@ -50,9 +50,15 @@ def resolve_config(args: argparse.Namespace) -> Config:
     return cfg
 
 
-def load_dataset(cfg: Config) -> tuple[TripleDataset, Vocab]:
-    """Build the training dataset + vocab from cfg.data.source."""
+def load_dataset(cfg: Config):
+    """Build the training dataset + vocab from cfg.data.source.
+
+    Precomputed-feature configs return a TripleDataset; end-to-end encoder
+    configs return an image-backed dataset (same iterator contract).
+    """
     d = cfg.data
+    if cfg.model.encoder != "precomputed":
+        return _load_image_dataset(cfg)
     if d.source == "synthetic":
         data = synthetic_dataset(
             num_images=d.num_synthetic_images,
@@ -76,3 +82,51 @@ def load_dataset(cfg: Config) -> tuple[TripleDataset, Vocab]:
         f"unsupported data.source {d.source!r} for this entry point "
         "(use 'synthetic' or 'shards'; run sgg.cli.preprocess first for VG)"
     )
+
+
+def _load_image_dataset(cfg: Config):
+    """Datasets for end-to-end (on-device feature) training [B:8]."""
+    import numpy as np
+
+    from sgg.data.images import ArrayImageTripleDataset, ImageTripleDataset
+
+    d = cfg.data
+    if d.source == "synthetic":
+        data = synthetic_dataset(
+            num_images=d.num_synthetic_images, regions=1, feat_dim=1,
+            seed=cfg.train.seed,
+        )
+        rng = np.random.RandomState(cfg.train.seed)
+        images = rng.randint(
+            0, 256, size=(d.num_synthetic_images, d.image_size, d.image_size, 3),
+            dtype=np.uint8,
+        )
+        return (
+            ArrayImageTripleDataset(images=images, triples=data["triples"]),
+            data["vocab"],
+        )
+    if d.source == "vg":
+        from sgg.data.extract import resolve_image_paths
+        from sgg.data.vg import (
+            build_vocab_from_relationships,
+            filter_and_encode,
+            parse_relationships,
+        )
+
+        if not d.data_dir:
+            raise ValueError("data.source=vg requires data.data_dir")
+        rel = os.path.join(d.data_dir, "relationships.json")
+        images = parse_relationships(rel)
+        if d.vocab_path:
+            vocab = Vocab.load(d.vocab_path)
+        else:
+            vocab = build_vocab_from_relationships(images, min_count=2)
+        ids, enc = filter_and_encode(
+            images, vocab, max_triples_per_image=d.max_triples_per_image
+        )
+        paths = resolve_image_paths(ids, os.path.join(d.data_dir, "images"))
+        return (
+            ImageTripleDataset(paths=paths, triples=enc, image_size=d.image_size),
+            vocab,
+        )
+    raise ValueError(f"unsupported data.source {d.source!r} for encoder configs")

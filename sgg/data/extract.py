@@ -1,0 +1,111 @@
+"""Preprocess-time feature extraction: images → region features.
+
+Reference capability (SURVEY.md §2.1 #2 and §3.1 hot loop): run every kept VG
+image through the conv backbone and dump region features to shards. TPU
+redesign: one jitted batched encoder apply per image batch (no per-op
+dispatch), bf16 on TPU, PIL-decoded host-side.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgg.models.encoders import make_encoder, normalize_for
+
+
+def load_and_resize(path: str, size: int = 224) -> np.ndarray:
+    """JPEG/PNG → uint8 [size, size, 3] (RGB)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+def resolve_image_paths(
+    image_ids: Sequence[int], image_dir: str, exts=(".jpg", ".jpeg", ".png")
+) -> list[str]:
+    """VG images are stored as ``<image_id>.jpg``; find each, error on gaps."""
+    paths, missing = [], []
+    for i in image_ids:
+        for ext in exts:
+            p = os.path.join(image_dir, f"{i}{ext}")
+            if os.path.exists(p):
+                paths.append(p)
+                break
+        else:
+            missing.append(i)
+    if missing:
+        raise FileNotFoundError(
+            f"{len(missing)} images not found in {image_dir} "
+            f"(first few ids: {missing[:5]})"
+        )
+    return paths
+
+
+def extract_features(
+    encoder_name: str,
+    image_paths: Sequence[str],
+    encoder_params=None,
+    batch_size: int = 32,
+    image_size: int = 224,
+    use_pallas: bool | None = None,
+    dtype=jnp.float32,
+    seed: int = 0,
+) -> np.ndarray:
+    """Batched jitted extraction → float32 [N, R, F].
+
+    ``encoder_params=None`` initializes random weights (pipeline smoke);
+    pass loaded pretrained params for real runs.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    enc = make_encoder(encoder_name, use_pallas=use_pallas, dtype=dtype)
+    if enc is None:
+        raise ValueError("encoder 'precomputed' cannot extract features")
+
+    sample = jnp.zeros((1, image_size, image_size, 3), dtype)
+    if encoder_params is None:
+        encoder_params = enc.init(jax.random.key(seed), sample)
+
+    @jax.jit
+    def apply(params, images_u8):
+        x = normalize_for(encoder_name, images_u8)
+        return enc.apply(params, x).astype(jnp.float32)
+
+    out = []
+    n = len(image_paths)
+    for lo in range(0, n, batch_size):
+        chunk = image_paths[lo : lo + batch_size]
+        imgs = np.stack([load_and_resize(p, image_size) for p in chunk])
+        if imgs.shape[0] < batch_size:  # keep the compiled shape
+            pad = np.repeat(imgs[-1:], batch_size - imgs.shape[0], axis=0)
+            imgs = np.concatenate([imgs, pad], axis=0)
+        feats = np.asarray(apply(encoder_params, jnp.asarray(imgs)))
+        out.append(feats[: len(chunk)])
+    return np.concatenate(out, axis=0)
+
+
+def extract_vgg_features(
+    image_ids: Sequence[int],
+    image_dir: str,
+    weights_path: str | None = None,
+    batch_size: int = 32,
+    image_size: int = 224,
+) -> np.ndarray:
+    """The reference's preprocess hot loop: VGG-19 conv5 features per image."""
+    params = None
+    if weights_path:
+        from sgg.models.vgg import load_npy_weights
+
+        params = load_npy_weights(weights_path)
+    paths = resolve_image_paths(image_ids, image_dir)
+    return extract_features(
+        "vgg19", paths, encoder_params=params,
+        batch_size=batch_size, image_size=image_size,
+    )

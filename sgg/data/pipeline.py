@@ -113,10 +113,8 @@ def make_train_iterator(
 
     def host_batch() -> dict:
         subs = [dataset.sample_batch(rng, indices, batch_size) for _ in range(n_sub)]
-        return {
-            "features": np.stack([s["features"] for s in subs]),
-            "triples": np.stack([s["triples"] for s in subs]),
-        }
+        # Stack whatever keys the dataset produces ('features' or 'images').
+        return {k: np.stack([s[k] for s in subs]) for k in subs[0]}
 
     def put(b: dict) -> dict:
         if not device_put:

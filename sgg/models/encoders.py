@@ -11,6 +11,20 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_for(name: str, images_u8: jnp.ndarray) -> jnp.ndarray:
+    """uint8 RGB [B,H,W,3] → the normalization each backbone was trained with."""
+    if name == "vgg19":
+        from sgg.models.vgg import vgg_preprocess
+
+        return vgg_preprocess(images_u8)
+    x = images_u8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(_IMAGENET_MEAN)) / jnp.asarray(_IMAGENET_STD)
+
+
 def make_encoder(
     name: str, use_pallas: bool = False, dtype: jnp.dtype = jnp.float32
 ) -> nn.Module | None:

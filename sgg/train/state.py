@@ -26,6 +26,9 @@ class GANTrainState:
     g_opt_state: Any
     d_opt_state: Any
     rng: jax.Array  # base key; per-step keys are folded from this + step
+    # Frozen backbone weights for end-to-end (on-device features) configs;
+    # None when features are precomputed. Not touched by any optimizer.
+    enc_params: Any = None
 
 
 def make_models(cfg: Config):
@@ -74,17 +77,31 @@ def make_optimizers(cfg: Config) -> tuple[optax.GradientTransformation, optax.Gr
     return g_tx, d_tx
 
 
-def create_train_state(cfg: Config, rng: jax.Array) -> GANTrainState:
+def create_train_state(
+    cfg: Config, rng: jax.Array, enc_params: Any = None
+) -> GANTrainState:
+    """Build a fresh state. For end-to-end encoder configs, pass pretrained
+    ``enc_params`` (or leave None to initialize randomly)."""
+    from sgg.models.encoders import make_encoder
+
     gen, critic = make_models(cfg)
     g_tx, d_tx = make_optimizers(cfg)
     B, R, F = 2, cfg.data.regions, cfg.data.feat_dim
     feats = jnp.zeros((B, R, F), cfg.model.dtype)
     z = jnp.zeros((B, cfg.model.noise_dim), cfg.model.dtype)
-    r_init, r_gen, r_critic, r_state = jax.random.split(rng, 4)
+    r_init, r_gen, r_critic, r_enc, r_state = jax.random.split(rng, 5)
     g_vars = gen.init(r_init, feats, z, r_gen)
     fake = jnp.full((B, 3, cfg.model.vocab_size), 1.0 / cfg.model.vocab_size)
     d_vars = critic.init(r_critic, feats, fake)
     g_params, d_params = g_vars["params"], d_vars["params"]
+
+    encoder = make_encoder(cfg.model.encoder, dtype=cfg.model.dtype)
+    if encoder is not None and enc_params is None:
+        img = jnp.zeros(
+            (1, cfg.data.image_size, cfg.data.image_size, 3), cfg.model.dtype
+        )
+        enc_params = encoder.init(r_enc, img)
+
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,
@@ -92,6 +109,7 @@ def create_train_state(cfg: Config, rng: jax.Array) -> GANTrainState:
         g_opt_state=g_tx.init(g_params),
         d_opt_state=d_tx.init(d_params),
         rng=r_state,
+        enc_params=enc_params,
     )
 
 

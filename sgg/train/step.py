@@ -47,11 +47,18 @@ def make_step_fn(
     Sub-batches 0..n_critic-1 feed critic updates, the last one the generator
     update (fresh data for every inner update, like the reference's queue).
     """
+    from sgg.models.encoders import make_encoder, normalize_for
+
     gen, critic = make_models(cfg)
     g_tx, d_tx = make_optimizers(cfg)
     V = cfg.model.vocab_size
     n_critic = cfg.train.n_critic
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
+    # End-to-end configs carry uint8 images; the frozen backbone runs
+    # on-device inside the fused step (BASELINE.json:8).
+    encoder = make_encoder(
+        cfg.model.encoder, use_pallas=cfg.model.use_pallas, dtype=cfg.model.dtype
+    )
 
     def critic_apply(d_params, feats, triple):
         return critic.apply({"params": d_params}, feats, triple)
@@ -88,6 +95,17 @@ def make_step_fn(
         return jax.lax.pmean(tree, axis_name)
 
     def step_fn(state: GANTrainState, batch: dict):
+        if encoder is None:
+            data = batch["features"]
+            get_feats = lambda x: x
+        else:
+            data = batch["images"]
+
+            def get_feats(images):
+                x = normalize_for(cfg.model.encoder, images)
+                f = encoder.apply(state.enc_params, x)
+                return jax.lax.stop_gradient(f.astype(cfg.model.dtype))
+
         tau = tau_schedule(cfg, state.step)
         rng = jax.random.fold_in(state.rng, state.step)
         if axis_name is not None:
@@ -100,7 +118,8 @@ def make_step_fn(
 
         def critic_iter(carry, inp):
             d_params, d_opt = carry
-            feats, real_ids, key = inp
+            raw, real_ids, key = inp
+            feats = get_feats(raw)
             (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
                 d_params, state.g_params, feats, real_ids, key, tau
             )
@@ -112,12 +131,12 @@ def make_step_fn(
         (d_params, d_opt_state), d_aux = jax.lax.scan(
             critic_iter,
             (state.d_params, state.d_opt_state),
-            (batch["features"][:n_critic], batch["triples"][:n_critic], d_keys),
+            (data[:n_critic], batch["triples"][:n_critic], d_keys),
         )
 
         # ---- one generator update on the final fresh sub-batch ----
         (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params, d_params, batch["features"][n_critic], rng_g, tau
+            state.g_params, d_params, get_feats(data[n_critic]), rng_g, tau
         )
         g_grads = maybe_pmean(g_grads)
         g_updates, g_opt_state = g_tx.update(
@@ -137,6 +156,7 @@ def make_step_fn(
             g_opt_state=g_opt_state,
             d_opt_state=d_opt_state,
             rng=state.rng,
+            enc_params=state.enc_params,
         )
         return new_state, metrics
 
@@ -163,10 +183,11 @@ def make_train_step(
     fn = make_step_fn(cfg, step_mask, axis_name="data")
     replicated = P()
     batch_spec = P(None, "data")  # [n_sub, B, ...] sharded on B
+    data_key = "features" if cfg.model.encoder == "precomputed" else "images"
     sharded = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(replicated, {"features": batch_spec, "triples": batch_spec}),
+        in_specs=(replicated, {data_key: batch_spec, "triples": batch_spec}),
         out_specs=(replicated, replicated),
         check_vma=False,
     )
