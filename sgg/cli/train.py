@@ -32,8 +32,9 @@ from sgg.dist import (
 )
 from sgg.train.checkpoint import CheckpointManager
 from sgg.train.metrics import MetricLogger
+from sgg.dist import place_state
 from sgg.train.state import create_train_state, param_count
-from sgg.train.step import make_train_step
+from sgg.train.step import make_train_step, make_train_step_gspmd
 
 
 def main(argv=None) -> int:
@@ -74,17 +75,33 @@ def main(argv=None) -> int:
     if restored is not None:
         state = restored
         print(f"[sgg.train] resumed from step {int(state.step)}", flush=True)
-    if mesh is not None:
-        # Restored (or freshly created) arrays are committed to one device;
-        # replicate them over the mesh so they compose with sharded batches.
-        state = jax.device_put(state, replicated_sharding(mesh))
     print(
         f"[sgg.train] params: G={param_count(state.g_params):,} "
         f"D={param_count(state.d_params):,}",
         flush=True,
     )
 
-    step_fn = make_train_step(cfg, step_mask=vocab.step_mask(), mesh=mesh)
+    use_gspmd = mesh is not None and (
+        cfg.mesh.partition == "gspmd"
+        or (cfg.mesh.partition == "auto" and (cfg.mesh.model > 1 or cfg.mesh.fsdp))
+    )
+    if use_gspmd:
+        step_fn, state_sh = make_train_step_gspmd(
+            cfg, mesh, step_mask=vocab.step_mask(),
+            tp=cfg.mesh.model > 1, fsdp=cfg.mesh.fsdp,
+        )
+        state = place_state(state, state_sh)
+        print(
+            f"[sgg.train] gspmd partition: tp={cfg.mesh.model > 1} "
+            f"fsdp={cfg.mesh.fsdp}",
+            flush=True,
+        )
+    else:
+        if mesh is not None:
+            # Restored/created arrays are committed to one device; replicate
+            # them over the mesh so they compose with sharded batches.
+            state = jax.device_put(state, replicated_sharding(mesh))
+        step_fn = make_train_step(cfg, step_mask=vocab.step_mask(), mesh=mesh)
     it = make_train_iterator(
         ds,
         cfg.train.batch_size,

@@ -80,6 +80,11 @@ class TrainConfig:
 class MeshConfig:
     data: int = -1  # -1 = all remaining devices
     model: int = 1
+    # Partitioning backend: 'shard_map' (explicit pmean collectives),
+    # 'gspmd' (NamedSharding rules; required for TP/FSDP), or 'auto'
+    # (gspmd whenever model>1 or fsdp, else shard_map).
+    partition: str = "auto"
+    fsdp: bool = False  # ZeRO-style param/optimizer sharding over 'data'
 
 
 @dataclass

@@ -14,8 +14,11 @@ from sgg.dist.mesh import (
     local_batch_size,
 )
 from sgg.dist.multihost import initialize_multihost, process_shard_info
+from sgg.dist.sharding import place_state, state_sharding
 
 __all__ = [
+    "place_state",
+    "state_sharding",
     "MeshSpec",
     "make_mesh",
     "batch_sharding",

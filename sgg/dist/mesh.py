@@ -44,7 +44,14 @@ def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
         raise ValueError(
             f"mesh {data}x{model} != {n} devices; set data=-1 to infer"
         )
-    return jax.make_mesh((data, model), (DATA_AXIS, MODEL_AXIS), devices=devices)
+    # Auto axis types → GSPMD propagation: the partitioner infers internal
+    # shardings and inserts collectives from the in/out NamedShardings alone,
+    # so model code stays mesh-agnostic. (This JAX defaults to Explicit axes,
+    # which instead demand per-op out_sharding annotations.)
+    auto = (jax.sharding.AxisType.Auto,) * 2
+    return jax.make_mesh(
+        (data, model), (DATA_AXIS, MODEL_AXIS), axis_types=auto, devices=devices
+    )
 
 
 def batch_sharding(mesh: Mesh, leading_stacked: bool = True) -> NamedSharding:

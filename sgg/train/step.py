@@ -108,9 +108,11 @@ def make_step_fn(
 
         tau = tau_schedule(cfg, state.step)
         rng = jax.random.fold_in(state.rng, state.step)
-        if axis_name is not None:
-            # Decorrelate noise/Gumbel draws across data shards.
-            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        # Decorrelate noise/Gumbel draws across data shards. The fold happens
+        # unconditionally (index 0 off-mesh) so a 1-shard mesh reproduces the
+        # single-device path bit-for-bit.
+        shard_idx = jax.lax.axis_index(axis_name) if axis_name is not None else 0
+        rng = jax.random.fold_in(rng, shard_idx)
         rng_d, rng_g = jax.random.split(rng)
 
         # ---- n_critic critic updates, scanned into one program ----
@@ -192,3 +194,46 @@ def make_train_step(
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_train_step_gspmd(
+    cfg: Config,
+    mesh: jax.sharding.Mesh,
+    step_mask=None,
+    tp: bool = False,
+    fsdp: bool = False,
+    donate: bool = True,
+):
+    """GSPMD-partitioned fused step: TP and FSDP/ZeRO as sharding rules.
+
+    Unlike the shard_map path, the step body is written for GLOBAL arrays and
+    XLA's partitioner inserts every collective (psum for DP grads, all-gather/
+    reduce-scatter for FSDP, vocab-dim collectives for TP) from the in/out
+    NamedShardings (SURVEY.md §2.2 TP/FSDP rows). Returns (step_fn,
+    state_sharding_tree) — place the state with ``place_state`` before use.
+    """
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from sgg.dist.sharding import state_sharding
+    from sgg.train.state import create_train_state
+
+    fn = make_step_fn(cfg, step_mask, axis_name=None)
+    abstract = jax.eval_shape(
+        lambda k: create_train_state(cfg, k), jax.random.key(0)
+    )
+    state_sh = state_sharding(abstract, mesh, tp=tp, fsdp=fsdp)
+    batch_sh = NamedSharding(mesh, P(None, "data"))
+    data_key = "features" if cfg.model.encoder == "precomputed" else "images"
+    repl = NamedSharding(mesh, P())
+
+    def metrics_sharding(_):
+        return repl
+
+    step = jax.jit(
+        fn,
+        in_shardings=(state_sh, {data_key: batch_sh, "triples": batch_sh}),
+        out_shardings=(state_sh, None),
+        donate_argnums=(0,) if donate else (),
+    )
+    return step, state_sh
