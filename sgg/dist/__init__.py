@@ -15,10 +15,18 @@ from sgg.dist.mesh import (
 )
 from sgg.dist.multihost import initialize_multihost, process_shard_info
 from sgg.dist.sharding import place_state, state_sharding
+from sgg.dist.sequence_parallel import (
+    make_sp_attention,
+    ring_flash_attention,
+    ulysses_attention,
+)
 
 __all__ = [
     "place_state",
     "state_sharding",
+    "make_sp_attention",
+    "ring_flash_attention",
+    "ulysses_attention",
     "MeshSpec",
     "make_mesh",
     "batch_sharding",

@@ -31,7 +31,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, s_len, tk):
+def _fa_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale, s_len, tk
+):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -66,9 +68,12 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, s_le
     @pl.when(kb == pl.num_programs(2) - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        # log-sum-exp per query row — the merge statistic for ring/sequence-
+        # parallel partial-attention combination.
+        lse_ref[0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
 
 
-def _fa_forward(q, k, v, scale, block_q, block_k):
+def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
     B, H, S, D = q.shape
     BH = B * H
     q3 = q.reshape(BH, S, D)
@@ -84,7 +89,7 @@ def _fa_forward(q, k, v, scale, block_q, block_k):
     v3 = jnp.pad(v3, ((0, 0), (0, Sk - S), (0, 0)))
 
     grid = (BH, Sq // tq, Sk // tk)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_fa_kernel, scale=scale, s_len=S, tk=tk),
         grid=grid,
         in_specs=[
@@ -92,10 +97,14 @@ def _fa_forward(q, k, v, scale, block_q, block_k):
             pl.BlockSpec((1, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, Sq), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((tq, D), jnp.float32),
             pltpu.VMEM((tq, 1), jnp.float32),
@@ -108,7 +117,10 @@ def _fa_forward(q, k, v, scale, block_q, block_k):
         ),
         interpret=_interpret(),
     )(q3, k3, v3)
-    return out[:, :S, :].reshape(B, H, S, D)
+    o = out[:, :S, :].reshape(B, H, S, D)
+    if return_lse:
+        return o, lse[:, :S].reshape(B, H, S)
+    return o
 
 
 def attention_reference(q, k, v, scale=None):
@@ -118,6 +130,19 @@ def attention_reference(q, k, v, scale=None):
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32))
     p = jax.nn.softmax(s * scale, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)).astype(q.dtype)
+
+
+def flash_attention_with_lse(
+    q, k, v, scale=None, block_q: int = 128, block_k: int = 128
+):
+    """Forward flash attention also returning per-row log-sum-exp [B,H,S] —
+    the statistic ring attention needs to merge partial results across
+    sequence shards."""
+    D = q.shape[-1]
+    return _fa_forward(
+        q, k, v, (D**-0.5) if scale is None else scale, block_q, block_k,
+        return_lse=True,
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
