@@ -1,0 +1,68 @@
+"""Inference benchmark: triples/sec for scene-graph sampling (BASELINE.json:2).
+
+  python benchmarks/bench_inference.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.common import emit
+from sgg.config import get_config
+from sgg.eval import make_sampler
+from sgg.train.state import create_train_state
+
+BATCH, REGIONS, FEAT, VOCAB, K = 64, 196, 512, 1024, 50
+
+
+def main(iters: int = 10) -> None:
+    cfg = get_config("vg1k")
+    cfg.model.vocab_size = VOCAB
+    cfg.data.regions, cfg.data.feat_dim = REGIONS, FEAT
+    if jax.default_backend() != "cpu":
+        cfg.model.compute_dtype = "bfloat16"
+
+    state = create_train_state(cfg, jax.random.key(0))
+    sampler = make_sampler(cfg, num_samples=K)
+    r = np.random.RandomState(0)
+    feats = jnp.asarray(r.randn(BATCH, REGIONS, FEAT), cfg.model.dtype)
+
+    from functools import partial
+
+    # In-jit scan + marginal timing (see benchmarks/common.py for why).
+    @partial(jax.jit, static_argnames="n")
+    def run(rng, n):
+        def body(c, _):
+            c, sub = jax.random.split(c)
+            toks = sampler(state.g_params, feats, sub)
+            return c, jnp.sum(toks)
+
+        _, sums = jax.lax.scan(body, rng, None, length=n)
+        return sums[-1]
+
+    rng = jax.random.key(1)
+    n1, n2 = 2, 2 + iters
+    int(run(rng, n1))
+    int(run(rng, n2))
+
+    def t(n):
+        t0 = time.perf_counter()
+        int(run(rng, n))
+        return time.perf_counter() - t0
+
+    per_call = max((t(n2) - t(n1)) / (n2 - n1), 1e-12)
+    emit("inference_triples_per_sec", BATCH * K / per_call, "triples/sec",
+         batch=BATCH, samples_per_image=K)
+
+
+if __name__ == "__main__":
+    print(f"# backend={jax.default_backend()}", file=sys.stderr)
+    main()

@@ -1,0 +1,49 @@
+"""Benchmark timing utilities.
+
+This machine reaches its TPU through a relay with ~30 ms of fixed
+dispatch+readback overhead per host round-trip, and queueing many separate
+async dispatches stalls badly — so naive "loop and block" timing measures
+the tunnel, not the chip. Method used here instead:
+
+  1. run the op chained inside ONE jit via ``lax.scan`` (single dispatch,
+     scalar readback);
+  2. time two different iteration counts and report the MARGINAL cost
+     ``(t(n2) − t(n1)) / (n2 − n1)``, which cancels the fixed overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def time_marginal_scan(fn, init, n1: int = 4, n2: int = 24) -> float:
+    """Marginal seconds/iteration of ``out = fn(out)`` scanned inside jit.
+
+    ``fn`` must map a pytree to a pytree of the same structure/shape.
+    """
+
+    @partial(jax.jit, static_argnames="iters")
+    def run(carry, iters):
+        out, _ = jax.lax.scan(lambda c, _: (fn(c), ()), carry, None, length=iters)
+        leaves = jax.tree.leaves(out)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    float(run(init, n1))  # compile both programs
+    float(run(init, n2))
+
+    def t(iters):
+        t0 = time.perf_counter()
+        float(run(init, iters))
+        return time.perf_counter() - t0
+
+    t_1, t_2 = t(n1), t(n2)
+    return max((t_2 - t_1) / (n2 - n1), 1e-12)
+
+
+def emit(metric: str, value: float, unit: str, **extra) -> None:
+    print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit, **extra}))

@@ -41,9 +41,17 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     add_config_args(p)
     p.add_argument("--steps", type=int, default=None, help="override total_steps")
+    p.add_argument("--profile", action="store_true",
+                   help="capture an XProf trace of steps 10..15 into workdir/profile")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="fail fast on NaNs inside the compiled step")
     args = p.parse_args(argv)
 
     apply_platform(args)
+    if args.debug_nans:
+        from sgg.utils.debug import enable_nan_checks
+
+        enable_nan_checks()
     initialize_multihost()
     cfg = resolve_config(args)
     if args.steps is not None:
@@ -115,10 +123,54 @@ def main(argv=None) -> int:
         cfg.train.batch_size * (cfg.train.n_critic + 1) * jax.process_count()
     )
 
+    profiler = None
+    if args.profile:
+        import os
+
+        from sgg.utils.profiling import StepProfiler
+
+        profiler = StepProfiler(
+            os.path.join(cfg.workdir, "profile"), start_step=int(state.step) + 10
+        )
+
+    from sgg.utils.debug import assert_super_batch
+
+    first_batch = next(it)
+    assert_super_batch(first_batch, cfg.train.n_critic, cfg.train.batch_size)
+
+    # Preemption/failure hook (SURVEY.md §5): SIGTERM/SIGINT checkpoint the
+    # current state before exiting, so auto-resume loses at most one step.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _on_term)
+        except ValueError:
+            pass  # non-main thread (tests)
+
     start = int(state.step)
-    for _ in range(start, cfg.train.total_steps):
-        state, metrics = step_fn(state, next(it))
+    for i in range(start, cfg.train.total_steps):
+        if preempted["flag"]:
+            print(
+                f"[sgg.train] preemption signal — checkpointing at step "
+                f"{int(state.step)} and exiting",
+                flush=True,
+            )
+            ckpt.save(state)
+            ckpt.close()
+            return 0
+        batch = first_batch if i == start else next(it)
+        if profiler:
+            profiler.maybe_start(i)
+        state, metrics = step_fn(state, batch)
         step = int(state.step)
+        if profiler and profiler.maybe_stop(step):
+            print(f"[sgg.train] profile trace → {profiler.logdir}", flush=True)
         if step % cfg.train.log_every == 0 or step == cfg.train.total_steps:
             scalars = logger.log(step, metrics, images_per_step=images_per_step)
             msg = " ".join(

@@ -19,12 +19,33 @@ from sgg.models.encoders import make_encoder, normalize_for
 
 
 def load_and_resize(path: str, size: int = 224) -> np.ndarray:
-    """JPEG/PNG → uint8 [size, size, 3] (RGB)."""
+    """JPEG/PNG → uint8 [size, size, 3] (RGB). Native C++ decode for JPEGs
+    (sgg.native: libjpeg + DCT prescale + threaded batch), PIL otherwise."""
+    if path.lower().endswith((".jpg", ".jpeg")):
+        try:
+            from sgg import native
+
+            return native.decode_file(path, size)
+        except Exception:
+            pass  # fall through to PIL (non-baseline JPEG, missing toolchain)
     from PIL import Image
 
     with Image.open(path) as im:
         im = im.convert("RGB").resize((size, size), Image.BILINEAR)
         return np.asarray(im, dtype=np.uint8)
+
+
+def load_batch(paths: list[str], size: int = 224) -> np.ndarray:
+    """Batch decode → uint8 [N, size, size, 3]; threaded native path when
+    every file is a JPEG and the native loader is available."""
+    if paths and all(p.lower().endswith((".jpg", ".jpeg")) for p in paths):
+        try:
+            from sgg import native
+
+            return native.decode_batch(paths, size)
+        except Exception:
+            pass
+    return np.stack([load_and_resize(p, size) for p in paths])
 
 
 def resolve_image_paths(
@@ -81,8 +102,8 @@ def extract_features(
     out = []
     n = len(image_paths)
     for lo in range(0, n, batch_size):
-        chunk = image_paths[lo : lo + batch_size]
-        imgs = np.stack([load_and_resize(p, image_size) for p in chunk])
+        chunk = list(image_paths[lo : lo + batch_size])
+        imgs = load_batch(chunk, image_size)
         if imgs.shape[0] < batch_size:  # keep the compiled shape
             pad = np.repeat(imgs[-1:], batch_size - imgs.shape[0], axis=0)
             imgs = np.concatenate([imgs, pad], axis=0)

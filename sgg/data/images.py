@@ -50,7 +50,19 @@ class ImageTripleDataset:
         self, rng: np.random.RandomState, indices: np.ndarray, batch_size: int
     ) -> dict:
         img_idx = indices[rng.randint(len(indices), size=batch_size)]
-        images = np.stack([self._load(int(i)) for i in img_idx])
+        cached = [int(i) for i in img_idx if int(i) in self._cache]
+        if len(cached) == len(img_idx):
+            images = np.stack([self._cache[int(i)] for i in img_idx])
+        else:
+            from sgg.data.extract import load_batch
+
+            images = load_batch(
+                [self.paths[int(i)] for i in img_idx], self.image_size
+            )
+            if self.cache_images:
+                for j, i in enumerate(img_idx):
+                    if len(self._cache) < self.cache_images:
+                        self._cache[int(i)] = images[j]
         trip = np.stack(
             [self.triples[i][rng.randint(self.triples[i].shape[0])] for i in img_idx]
         ).astype(np.int32)

@@ -69,8 +69,9 @@ def _fa_kernel(
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
         # log-sum-exp per query row — the merge statistic for ring/sequence-
-        # parallel partial-attention combination.
-        lse_ref[0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+        # parallel partial-attention combination. Stored [BH, 1, Sq] so the
+        # block's trailing dims (1, tq) satisfy Mosaic's (8,128) tiling rule.
+        lse_ref[0, 0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
 
 
 def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
@@ -99,11 +100,11 @@ def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
         ],
         out_specs=(
             pl.BlockSpec((1, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tq), lambda b, i, j: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, Sq), jnp.float32),
+            jax.ShapeDtypeStruct((BH, 1, Sq), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((tq, D), jnp.float32),
@@ -119,7 +120,7 @@ def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
     )(q3, k3, v3)
     o = out[:, :S, :].reshape(B, H, S, D)
     if return_lse:
-        return o, lse[:, :S].reshape(B, H, S)
+        return o, lse[:, 0, :S].reshape(B, H, S)
     return o
 
 

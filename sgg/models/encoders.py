@@ -26,9 +26,16 @@ def normalize_for(name: str, images_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_encoder(
-    name: str, use_pallas: bool = False, dtype: jnp.dtype = jnp.float32
+    name: str,
+    use_pallas: bool = False,
+    dtype: jnp.dtype = jnp.float32,
+    attn_fn=None,
 ) -> nn.Module | None:
-    """Returns the feature-extractor module, or None for 'precomputed'."""
+    """Returns the feature-extractor module, or None for 'precomputed'.
+
+    ``attn_fn`` (ViT only): a (q,k,v)→o override — e.g. a ring/Ulysses
+    sequence-parallel wrapper from ``sgg.dist.make_sp_attention``.
+    """
     if name == "precomputed":
         return None
     if name == "vgg19":
@@ -42,5 +49,5 @@ def make_encoder(
     if name == "vit_b16":
         from sgg.models.vit import ViTB16Features
 
-        return ViTB16Features(use_pallas=use_pallas, dtype=dtype)
+        return ViTB16Features(use_pallas=use_pallas, dtype=dtype, attn_fn=attn_fn)
     raise ValueError(f"unknown encoder {name!r}")

@@ -9,6 +9,8 @@ axis routes through the blockwise flash kernel when ``use_pallas=True``
 
 from __future__ import annotations
 
+from typing import Callable
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -16,8 +18,13 @@ from sgg.kernels.flash_attention import attention_reference, flash_attention
 
 
 class MultiHeadSelfAttention(nn.Module):
+    """Patch self-attention; the inner (q,k,v)→o op is pluggable so the
+    sequence-parallel wrappers (ring/Ulysses over a mesh axis) drop in via
+    ``attn_fn`` without the module knowing about meshes."""
+
     num_heads: int
     use_pallas: bool = False
+    attn_fn: Callable | None = None  # overrides kernel choice when set
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -34,7 +41,10 @@ class MultiHeadSelfAttention(nn.Module):
             return t.reshape(B, S, H, D).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        attend = flash_attention if self.use_pallas else attention_reference
+        if self.attn_fn is not None:
+            attend = self.attn_fn
+        else:
+            attend = flash_attention if self.use_pallas else attention_reference
         o = attend(q, k, v)  # [B, H, S, D]
         o = o.transpose(0, 2, 1, 3).reshape(B, S, E)
         return nn.Dense(E, name="out", **kw)(o)
@@ -44,6 +54,7 @@ class TransformerBlock(nn.Module):
     num_heads: int
     mlp_ratio: int = 4
     use_pallas: bool = False
+    attn_fn: "Callable | None" = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -52,7 +63,8 @@ class TransformerBlock(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         y = nn.LayerNorm(name="ln1", **kw)(x)
         x = x + MultiHeadSelfAttention(
-            self.num_heads, use_pallas=self.use_pallas, name="attn", **kw
+            self.num_heads, use_pallas=self.use_pallas, attn_fn=self.attn_fn,
+            name="attn", **kw,
         )(y)
         y = nn.LayerNorm(name="ln2", **kw)(x)
         h = nn.Dense(x.shape[-1] * self.mlp_ratio, name="mlp1", **kw)(y)
@@ -70,6 +82,7 @@ class ViTB16Features(nn.Module):
     patch: int = 16
     mlp_ratio: int = 4
     use_pallas: bool = False
+    attn_fn: "Callable | None" = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -92,6 +105,6 @@ class ViTB16Features(nn.Module):
         for i in range(self.num_layers):
             x = TransformerBlock(
                 self.num_heads, self.mlp_ratio, use_pallas=self.use_pallas,
-                name=f"block{i}", **kw,
+                attn_fn=self.attn_fn, name=f"block{i}", **kw,
             )(x)
         return nn.LayerNorm(name="ln_final", **kw)(x)
