@@ -17,6 +17,10 @@ def add_config_args(p: argparse.ArgumentParser) -> None:
         help="named config (BASELINE.json configs)",
     )
     p.add_argument(
+        "--config-file", default=None,
+        help="JSON config file (overrides --config; see configs/)",
+    )
+    p.add_argument(
         "--set", dest="overrides", action="append", default=[],
         metavar="SECTION.FIELD=VALUE",
         help="config override, e.g. --set train.batch_size=64 (repeatable)",
@@ -42,7 +46,11 @@ def apply_platform(args: argparse.Namespace) -> None:
 
 
 def resolve_config(args: argparse.Namespace) -> Config:
-    cfg = get_config(args.config)
+    if getattr(args, "config_file", None):
+        with open(args.config_file) as f:
+            cfg = Config.from_json(f.read())
+    else:
+        cfg = get_config(args.config)
     if args.overrides:
         cfg = cfg.override(args.overrides)
     if args.workdir:
@@ -50,15 +58,25 @@ def resolve_config(args: argparse.Namespace) -> Config:
     return cfg
 
 
-def load_dataset(cfg: Config):
-    """Build the training dataset + vocab from cfg.data.source.
+def load_dataset(cfg: Config, split: str = "train"):
+    """Build the dataset + vocab from cfg.data.source.
 
     Precomputed-feature configs return a TripleDataset; end-to-end encoder
     configs return an image-backed dataset (same iterator contract).
+    ``split='test'`` reads the held-out shards written by preprocess
+    (``data_dir/test``); sources without a materialized split fall back to
+    the full set.
     """
     d = cfg.data
     if cfg.model.encoder != "precomputed":
         return _load_image_dataset(cfg)
+    if d.source == "shards" and split == "test":
+        test_dir = os.path.join(d.data_dir, "test")
+        if list_shards(test_dir):
+            vocab_path = d.vocab_path or os.path.join(d.data_dir, "vocab.json")
+            return TripleDataset.from_shards(list_shards(test_dir)), Vocab.load(
+                vocab_path
+            )
     if d.source == "synthetic":
         data = synthetic_dataset(
             num_images=d.num_synthetic_images,

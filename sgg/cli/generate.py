@@ -37,13 +37,15 @@ def main(argv=None) -> int:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--recall-k", type=int, default=None, help="also report recall@k vs ground truth")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--split", default="test", choices=["train", "test"],
+                   help="evaluate on held-out shards when available (default)")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
 
     cfg, vocab = load_workdir(args.workdir)
     cfg.model.vocab_size = len(vocab)
-    ds, _ = load_dataset(cfg)
+    ds, _ = load_dataset(cfg, split=args.split)
     n_images = min(args.num_images or len(ds), len(ds))
 
     state = create_train_state(cfg, jax.random.key(0))

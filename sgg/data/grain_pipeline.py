@@ -1,0 +1,82 @@
+"""Grain-based input pipeline (SURVEY.md §1.2 Data row).
+
+An alternative to the thread-prefetch iterator in ``sgg.data.pipeline`` built
+on Google Grain: deterministic global shuffling, per-process sharding through
+``grain.ShardOptions``, worker-process parallelism for the decode path, and
+checkpointable iterators. The custom iterator remains the default (lighter
+for precomputed features); this one is for the image-decode-heavy end-to-end
+configs where multiprocess decode wins.
+
+Yields the same super-batch contract: {'features'|'images': [n_sub, B, ...],
+'triples': [n_sub, B, 3]}.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+import jax
+
+
+def make_grain_iterator(
+    dataset,
+    batch_size: int,
+    n_critic: int,
+    seed: int = 0,
+    process_index: int | None = None,
+    process_count: int | None = None,
+    num_workers: int = 0,
+    sharding: jax.sharding.Sharding | None = None,
+) -> Iterator[dict]:
+    """Grain pipeline over a TripleDataset / ImageTripleDataset-like object."""
+    import grain.python as grain
+
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+
+    n_sub = n_critic + 1
+    n = len(dataset)
+
+    class _Source(grain.RandomAccessDataSource):
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            # One (image, one-of-its-triples) pair; triple choice derives
+            # deterministically from the index for reproducibility.
+            rng = np.random.RandomState((seed * 1_000_003 + i) % (2**31))
+            sub = dataset.sample_batch(rng, np.asarray([i]), 1)
+            return {k: v[0] for k, v in sub.items()}
+
+    sampler = grain.IndexSampler(
+        num_records=n,
+        shard_options=grain.ShardOptions(
+            shard_index=process_index, shard_count=process_count, drop_remainder=True
+        ),
+        shuffle=True,
+        num_epochs=None,  # repeat forever
+        seed=seed,
+    )
+    loader = grain.DataLoader(
+        data_source=_Source(),
+        sampler=sampler,
+        operations=[grain.Batch(batch_size=batch_size, drop_remainder=True)],
+        worker_count=num_workers,
+    )
+
+    def gen():
+        it = iter(loader)
+        while True:
+            subs = [next(it) for _ in range(n_sub)]
+            batch = {k: np.stack([s[k] for s in subs]) for k in subs[0]}
+            if sharding is not None:
+                batch = jax.device_put(
+                    batch, jax.tree.map(lambda _: sharding, batch)
+                )
+            yield batch
+
+    return gen()
