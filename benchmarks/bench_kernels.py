@@ -41,7 +41,7 @@ def bench_conv(B=32, HW=56, C=64, K=3, dtype=jnp.bfloat16):
     flops = 2 * B * HW * HW * K * K * C * C
 
     t_fused = time_marginal_scan(
-        lambda c: conv2d_fused(c, w, bias=bias, relu=True), x
+        lambda c: conv2d_fused(c, w, bias=bias, relu=True, impl="pallas"), x
     )
     t_ref = time_marginal_scan(
         lambda c: conv2d_reference(c, w, bias=bias, relu=True), x

@@ -45,13 +45,32 @@ def conv2d_fused(
     padding: str = "SAME",
     relu: bool = True,
     use_pallas: bool = True,
+    impl: str | None = None,
 ) -> jnp.ndarray:
-    """relu(scale · conv(x, w) + bias) with the epilogue fused into the matmul."""
+    """relu(scale · conv(x, w) + bias), epilogue fused with the conv.
+
+    ``impl``: 'pallas' (im2col + Mosaic fused matmul), 'xla' (lax.conv; XLA
+    fuses the epilogue into the conv), or 'auto' (derived from ``use_pallas``
+    when None). Measured on v5e bf16: XLA's conv runs at roofline
+    (143–191 TFLOP/s at 512-channel shapes) while the im2col formulation is
+    bound by patch materialization bandwidth (~35 TFLOP/s), so 'auto'
+    CURRENTLY routes to 'xla' — the Mosaic kernel stays available and
+    parity-tested for shapes/backends where the trade flips, and a
+    direct-conv Pallas kernel (patches formed in VMEM) is the future path to
+    beating XLA here.
+    """
+    if impl is None:
+        impl = "auto" if use_pallas else "xla"
+    if impl == "auto":
+        impl = "xla"
+    if impl == "xla":
+        return conv2d_reference(
+            x, w, bias=bias, scale=scale, stride=stride, padding=padding, relu=relu
+        )
     kh, kw, Cin, Cout = w.shape
     cols, (B, Ho, Wo) = _im2col(x, kh, kw, stride, padding)
     w2 = w.reshape(kh * kw * Cin, Cout)
-    mm = fused_matmul if use_pallas else fused_matmul_reference
-    y = mm(cols, w2, bias=bias, scale=scale, relu=relu, out_dtype=x.dtype)
+    y = fused_matmul(cols, w2, bias=bias, scale=scale, relu=relu, out_dtype=x.dtype)
     return y.reshape(B, Ho, Wo, Cout)
 
 

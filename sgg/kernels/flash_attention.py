@@ -34,6 +34,8 @@ def _round_up(x: int, m: int) -> int:
 def _fa_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale, s_len, tk
 ):
+    """lse_ref is None when the caller doesn't need the statistic — the
+    kernel then has a single output (keeps DCE out of correctness's way)."""
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -68,10 +70,11 @@ def _fa_kernel(
     @pl.when(kb == pl.num_programs(2) - 1)
     def _():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
-        # log-sum-exp per query row — the merge statistic for ring/sequence-
-        # parallel partial-attention combination. Stored [BH, 1, Sq] so the
-        # block's trailing dims (1, tq) satisfy Mosaic's (8,128) tiling rule.
-        lse_ref[0, 0] = (m_ref[:] + jnp.log(l_ref[:]))[:, 0]
+        if lse_ref is not None:
+            # log-sum-exp per query row — the merge statistic for ring/
+            # sequence-parallel partial combination. Stored [BH, Sq, 1] so
+            # the (tq, 1) block matches the (tq, 1) scratch layout directly.
+            lse_ref[0] = m_ref[:] + jnp.log(l_ref[:])
 
 
 def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
@@ -81,7 +84,9 @@ def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
     k3 = k.reshape(BH, S, D)
     v3 = v.reshape(BH, S, D)
 
-    tq = min(block_q, _round_up(S, 8))
+    # The lse-carrying kernel needs 128-aligned q tiles (Mosaic stalls on the
+    # (tq,1) store otherwise); the plain kernel only needs sublane alignment.
+    tq = min(block_q, _round_up(S, 128 if return_lse else 8))
     tk = min(block_k, _round_up(S, 128))
     Sq = _round_up(S, tq)
     Sk = _round_up(S, tk)
@@ -90,22 +95,32 @@ def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
     v3 = jnp.pad(v3, ((0, 0), (0, Sk - S), (0, 0)))
 
     grid = (BH, Sq // tq, Sk // tk)
-    out, lse = pl.pallas_call(
-        functools.partial(_fa_kernel, scale=scale, s_len=S, tk=tk),
+    qspec = pl.BlockSpec((1, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    if return_lse:
+        kernel = functools.partial(_fa_kernel, scale=scale, s_len=S, tk=tk)
+    else:
+
+        def kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
+            _fa_kernel(
+                q_ref, k_ref, v_ref, o_ref, None, acc_ref, m_ref, l_ref,
+                scale=scale, s_len=S, tk=tk,
+            )
+    result = pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            qspec,
             pl.BlockSpec((1, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
-        ),
+            qspec,
+            pl.BlockSpec((1, tq, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        ) if return_lse else qspec,
         out_shape=(
             jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
-            jax.ShapeDtypeStruct((BH, 1, Sq), jnp.float32),
-        ),
+            jax.ShapeDtypeStruct((BH, Sq, 1), jnp.float32),
+        ) if return_lse else jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((tq, D), jnp.float32),
             pltpu.VMEM((tq, 1), jnp.float32),
@@ -118,10 +133,11 @@ def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
         ),
         interpret=_interpret(),
     )(q3, k3, v3)
-    o = out[:, :S, :].reshape(B, H, S, D)
     if return_lse:
-        return o, lse[:, 0, :S].reshape(B, H, S)
-    return o
+        out, lse = result
+        o = out[:, :S, :].reshape(B, H, S, D)
+        return o, lse[:, :S, 0].reshape(B, H, S)
+    return result[:, :S, :].reshape(B, H, S, D)
 
 
 def attention_reference(q, k, v, scale=None):
@@ -134,7 +150,7 @@ def attention_reference(q, k, v, scale=None):
 
 
 def flash_attention_with_lse(
-    q, k, v, scale=None, block_q: int = 128, block_k: int = 128
+    q, k, v, scale=None, block_q: int = 512, block_k: int = 512
 ):
     """Forward flash attention also returning per-row log-sum-exp [B,H,S] —
     the statistic ring attention needs to merge partial results across
@@ -152,10 +168,15 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
 ) -> jnp.ndarray:
-    """Memory-efficient attention: O(S) HBM traffic per query block."""
+    """Memory-efficient attention: O(S) HBM traffic per query block.
+
+    Default 512-blocks: measured 28 TFLOP/s vs 13.9 for unfused XLA attention
+    at [8,12,1024,64] bf16 on v5e (128-blocks ran at only 4 TFLOP/s — grid
+    overhead dominates small blocks). Blocks clamp to the padded sequence for
+    short S."""
     D = q.shape[-1]
     return _fa_forward(q, k, v, (D**-0.5) if scale is None else scale, block_q, block_k)
 

@@ -53,7 +53,8 @@ def test_conv2d_fused_parity(shape, kern, stride, padding):
     x = jnp.asarray(r.randn(*shape), jnp.float32)
     w = jnp.asarray(r.randn(kern, kern, shape[-1], 16) * 0.1, jnp.float32)
     bias = jnp.asarray(r.randn(16), jnp.float32)
-    got = conv2d_fused(x, w, bias=bias, stride=stride, padding=padding, relu=True)
+    got = conv2d_fused(x, w, bias=bias, stride=stride, padding=padding,
+                       relu=True, impl="pallas")
     want = conv2d_reference(x, w, bias=bias, stride=stride, padding=padding, relu=True)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
@@ -69,7 +70,7 @@ def test_conv_bn_relu_folding():
     var = jnp.asarray(r.rand(8) + 0.1, jnp.float32)
 
     scale, bias = fold_batchnorm(gamma, beta, mean, var)
-    got = conv2d_fused(x, w, bias=bias, scale=scale, relu=True)
+    got = conv2d_fused(x, w, bias=bias, scale=scale, relu=True, impl="pallas")
 
     y = conv2d_reference(x, w, bias=None, relu=False)
     want = jnp.maximum(
@@ -108,3 +109,14 @@ def test_flash_attention_gradients_match_reference():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
+
+
+def test_conv_auto_routing_matches_pallas():
+    """'auto' (currently the XLA path) and the forced Mosaic path agree."""
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(2, 8, 8, 16), jnp.float32)
+    w = jnp.asarray(r.randn(3, 3, 16, 32) * 0.1, jnp.float32)
+    bias = jnp.asarray(r.randn(32), jnp.float32)
+    auto = conv2d_fused(x, w, bias=bias, relu=True)  # impl derived = auto
+    forced = conv2d_fused(x, w, bias=bias, relu=True, impl="pallas")
+    np.testing.assert_allclose(np.asarray(auto), np.asarray(forced), rtol=1e-4, atol=1e-4)
