@@ -110,13 +110,28 @@ def main(argv=None) -> int:
             # them over the mesh so they compose with sharded batches.
             state = jax.device_put(state, replicated_sharding(mesh))
         step_fn = make_train_step(cfg, step_mask=vocab.step_mask(), mesh=mesh)
-    it = make_train_iterator(
-        ds,
-        cfg.train.batch_size,
-        cfg.train.n_critic,
-        seed=cfg.train.seed,
-        sharding=sharding,
+
+    # Data: device-resident gather pipeline when the features fit HBM
+    # (zero per-step host traffic); host prefetch iterator otherwise.
+    from sgg.data import TripleDataset, make_device_train_iterator
+
+    use_device_data = (
+        cfg.data.device_resident
+        and isinstance(ds, TripleDataset)
+        and ds.features.nbytes <= cfg.data.device_resident_max_bytes
     )
+    if use_device_data:
+        it = make_device_train_iterator(
+            ds, cfg.train.batch_size, cfg.train.n_critic,
+            seed=cfg.train.seed, sharding=sharding,
+        )
+        print("[sgg.train] device-resident dataset "
+              f"({ds.features.nbytes / 1e6:.0f} MB in HBM)", flush=True)
+    else:
+        it = make_train_iterator(
+            ds, cfg.train.batch_size, cfg.train.n_critic,
+            seed=cfg.train.seed, sharding=sharding,
+        )
     logger = MetricLogger(cfg.workdir)
     # images consumed per fused step across all processes
     images_per_step = (
@@ -153,12 +168,17 @@ def main(argv=None) -> int:
         except ValueError:
             pass  # non-main thread (tests)
 
+    # The loop tracks the step count on the HOST: reading ``state.step`` back
+    # every iteration would force a device sync per step (≥30 ms through this
+    # machine's TPU relay — it dominated wall-clock before this change).
+    # Device work stays fully async; we synchronize only at log/checkpoint
+    # boundaries, where metrics are materialized anyway.
     start = int(state.step)
     for i in range(start, cfg.train.total_steps):
         if preempted["flag"]:
             print(
-                f"[sgg.train] preemption signal — checkpointing at step "
-                f"{int(state.step)} and exiting",
+                f"[sgg.train] preemption signal — checkpointing at step {i} "
+                "and exiting",
                 flush=True,
             )
             ckpt.save(state)
@@ -168,7 +188,7 @@ def main(argv=None) -> int:
         if profiler:
             profiler.maybe_start(i)
         state, metrics = step_fn(state, batch)
-        step = int(state.step)
+        step = i + 1
         if profiler and profiler.maybe_stop(step):
             print(f"[sgg.train] profile trace → {profiler.logdir}", flush=True)
         if step % cfg.train.log_every == 0 or step == cfg.train.total_steps:

@@ -52,6 +52,10 @@ class DataConfig:
     num_synthetic_images: int = 1024
     max_triples_per_image: int = 32
     test_fraction: float = 0.1
+    # Keep the feature set resident in HBM and assemble batches with an
+    # on-device gather (zero per-step host traffic) when it fits.
+    device_resident: bool = True
+    device_resident_max_bytes: int = 4_000_000_000
 
 
 @dataclass

@@ -13,7 +13,11 @@ from sgg.data.vg import (
     build_vocab_from_relationships,
 )
 from sgg.data.shards import write_feature_shard, read_feature_shard, list_shards
-from sgg.data.pipeline import TripleDataset, make_train_iterator
+from sgg.data.pipeline import (
+    TripleDataset,
+    make_device_train_iterator,
+    make_train_iterator,
+)
 from sgg.data.synthetic import synthetic_dataset, synthetic_vg_json
 
 __all__ = [
@@ -26,6 +30,7 @@ __all__ = [
     "list_shards",
     "TripleDataset",
     "make_train_iterator",
+    "make_device_train_iterator",
     "synthetic_dataset",
     "synthetic_vg_json",
 ]

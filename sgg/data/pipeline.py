@@ -79,6 +79,75 @@ class TripleDataset:
         return {"features": self.features[img], "triples": trip}
 
 
+def make_device_train_iterator(
+    dataset: TripleDataset,
+    batch_size: int,
+    n_critic: int,
+    seed: int = 0,
+    process_index: int | None = None,
+    process_count: int | None = None,
+    sharding: jax.sharding.Sharding | None = None,
+):
+    """Device-resident pipeline: the whole (local) dataset lives in HBM and
+    every super-batch is assembled by ONE jitted gather — zero per-step
+    host↔device traffic. The TPU-native choice whenever the feature set fits
+    device memory (vg1k: 1k × 196×512 f32 ≈ 0.4 GB ≪ 16 GB HBM); the
+    host-prefetch iterator remains for bigger-than-HBM data.
+    """
+    import jax.numpy as jnp
+
+    if process_index is None:
+        process_index = jax.process_index()
+    if process_count is None:
+        process_count = jax.process_count()
+    local = dataset.process_slice(process_index, process_count)
+    if len(local) == 0:
+        raise ValueError(f"process {process_index}/{process_count}: empty shard")
+
+    feats = jnp.asarray(dataset.features[local])  # [N, R, F] → HBM once
+    tri_list = [dataset.triples[i] for i in local]
+    T = max(t.shape[0] for t in tri_list)
+    dense = np.zeros((len(local), T, 3), np.int32)
+    counts = np.zeros((len(local),), np.int32)
+    for j, t in enumerate(tri_list):
+        dense[j, : t.shape[0]] = t
+        counts[j] = t.shape[0]
+    dense_d = jnp.asarray(dense)
+    counts_d = jnp.asarray(counts)
+    N = len(local)
+    n_sub = n_critic + 1
+    base = jax.random.key(seed + 7919 * process_index)
+
+    # Device arrays are ARGUMENTS, not closures: a closed-over array becomes
+    # a program constant, bloating the compiled executable (and overflowing
+    # remote-compile request limits) by the size of the dataset.
+    @jax.jit
+    def sample(feats, dense, counts, step):
+        key = jax.random.fold_in(base, step)
+        k_img, k_tri = jax.random.split(key)
+        img = jax.random.randint(k_img, (n_sub, batch_size), 0, N)
+        # uniform triple choice within each image's true triple count
+        u = jax.random.uniform(k_tri, (n_sub, batch_size))
+        tsel = (u * counts[img]).astype(jnp.int32)
+        batch = {
+            "features": feats[img],  # [n_sub, B, R, F]
+            "triples": dense[img, tsel],  # [n_sub, B, 3]
+        }
+        if sharding is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, jax.tree.map(lambda _: sharding, batch)
+            )
+        return batch
+
+    def gen():
+        step = 0
+        while True:
+            yield sample(feats, dense_d, counts_d, step)
+            step += 1
+
+    return gen()
+
+
 def make_train_iterator(
     dataset: TripleDataset,
     batch_size: int,
