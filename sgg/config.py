@@ -35,6 +35,9 @@ class ModelConfig:
     mlp_ratio: int = 4
     compute_dtype: str = "float32"  # bfloat16 on TPU
     use_pallas: bool = False  # route hot ops through Pallas kernels
+    # Sequence-parallel mode for the ViT patch axis: '' | 'ring' | 'ulysses'.
+    # Requires a mesh; the patch sequence shards over the 'model' axis.
+    sp_mode: str = ""
 
     @property
     def dtype(self):

@@ -18,6 +18,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# Expert-parallel hook (SURVEY.md §2.2 EP row): no MoE in scope, but the
+# axis name is reserved so an expert dimension can be added to MeshSpec and
+# sharding rules without touching call sites.
+EXPERT_AXIS = "expert"
 
 
 @dataclass(frozen=True)

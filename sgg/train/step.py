@@ -40,6 +40,7 @@ def make_step_fn(
     cfg: Config,
     step_mask=None,
     axis_name: str | None = None,
+    sp_mesh: jax.sharding.Mesh | None = None,
 ) -> Callable[[GANTrainState, dict], tuple[GANTrainState, dict]]:
     """Build the pure (state, batch) → (state, metrics) fused update.
 
@@ -55,9 +56,19 @@ def make_step_fn(
     n_critic = cfg.train.n_critic
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
     # End-to-end configs carry uint8 images; the frozen backbone runs
-    # on-device inside the fused step (BASELINE.json:8).
+    # on-device inside the fused step (BASELINE.json:8). With sp_mode set
+    # and a mesh (GSPMD path), the ViT's patch attention runs sequence-
+    # parallel over the 'model' axis.
+    attn_fn = None
+    if cfg.model.sp_mode and sp_mesh is not None and cfg.model.encoder == "vit_b16":
+        from sgg.dist.sequence_parallel import make_sp_attention
+
+        attn_fn = make_sp_attention(
+            sp_mesh, mode=cfg.model.sp_mode, seq_axis="model"
+        )
     encoder = make_encoder(
-        cfg.model.encoder, use_pallas=cfg.model.use_pallas, dtype=cfg.model.dtype
+        cfg.model.encoder, use_pallas=cfg.model.use_pallas,
+        dtype=cfg.model.dtype, attn_fn=attn_fn,
     )
 
     def critic_apply(d_params, feats, triple):
@@ -218,7 +229,7 @@ def make_train_step_gspmd(
     from sgg.dist.sharding import state_sharding
     from sgg.train.state import create_train_state
 
-    fn = make_step_fn(cfg, step_mask, axis_name=None)
+    fn = make_step_fn(cfg, step_mask, axis_name=None, sp_mesh=mesh)
     abstract = jax.eval_shape(
         lambda k: create_train_state(cfg, k), jax.random.key(0)
     )
