@@ -62,13 +62,37 @@ def main(argv=None) -> int:
     )
     rng = jax.random.key(args.seed)
 
+    # End-to-end configs: run the frozen backbone (from the checkpoint's
+    # enc_params) on images to produce the features the decoder attends over.
+    encode = None
+    if cfg.model.encoder != "precomputed":
+        from sgg.models.encoders import make_encoder, normalize_for
+
+        enc = make_encoder(cfg.model.encoder, dtype=cfg.model.dtype)
+
+        @jax.jit
+        def encode(enc_params, images_u8):
+            x = normalize_for(cfg.model.encoder, images_u8)
+            return enc.apply(enc_params, x)
+
+    def batch_features(idx):
+        if encode is None:
+            return ds.features[idx]
+        if hasattr(ds, "images"):  # in-memory uint8 images
+            imgs = ds.images[idx]
+        else:  # path-backed dataset
+            from sgg.data.extract import load_batch
+
+            imgs = load_batch([ds.paths[int(i)] for i in idx], ds.image_size)
+        return np.asarray(encode(state.enc_params, imgs), np.float32)
+
     graphs, gen_triples, gt_triples = [], [], []
     B = args.batch_size
     t0 = time.perf_counter()
     n_sampled = 0
     for lo in range(0, n_images, B):
         idx = np.arange(lo, min(lo + B, n_images))
-        feats = ds.features[idx]
+        feats = batch_features(idx)
         if feats.shape[0] < B:  # pad to the compiled batch shape
             pad = np.repeat(feats[-1:], B - feats.shape[0], axis=0)
             feats = np.concatenate([feats, pad], axis=0)

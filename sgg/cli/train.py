@@ -158,15 +158,25 @@ def main(argv=None) -> int:
     import signal
 
     preempted = {"flag": False}
+    prev_handlers = {}
 
     def _on_term(signum, frame):
         preempted["flag"] = True
 
     for sig in (signal.SIGTERM, signal.SIGINT):
         try:
-            signal.signal(sig, _on_term)
+            prev_handlers[sig] = signal.signal(sig, _on_term)
         except ValueError:
             pass  # non-main thread (tests)
+
+    def _restore_handlers():
+        # In-process callers (tests, notebooks) must get their handlers back;
+        # leaving ours installed would swallow Ctrl-C for the whole process.
+        for sig, h in prev_handlers.items():
+            try:
+                signal.signal(sig, h)
+            except ValueError:
+                pass
 
     # The loop tracks the step count on the HOST: reading ``state.step`` back
     # every iteration would force a device sync per step (≥30 ms through this
@@ -174,35 +184,38 @@ def main(argv=None) -> int:
     # Device work stays fully async; we synchronize only at log/checkpoint
     # boundaries, where metrics are materialized anyway.
     start = int(state.step)
-    for i in range(start, cfg.train.total_steps):
-        if preempted["flag"]:
-            print(
-                f"[sgg.train] preemption signal — checkpointing at step {i} "
-                "and exiting",
-                flush=True,
-            )
-            ckpt.save(state)
-            ckpt.close()
-            return 0
-        batch = first_batch if i == start else next(it)
-        if profiler:
-            profiler.maybe_start(i)
-        state, metrics = step_fn(state, batch)
-        step = i + 1
-        if profiler and profiler.maybe_stop(step):
-            print(f"[sgg.train] profile trace → {profiler.logdir}", flush=True)
-        if step % cfg.train.log_every == 0 or step == cfg.train.total_steps:
-            scalars = logger.log(step, metrics, images_per_step=images_per_step)
-            msg = " ".join(
-                f"{k}={scalars[k]:.4f}"
-                for k in ("d_loss", "g_loss", "w_dist", "gp")
-                if k in scalars
-            )
-            ips = scalars.get("images_per_sec_per_chip")
-            ips_s = f" img/s/chip={ips:.1f}" if ips else ""
-            print(f"[sgg.train] step {step}: {msg}{ips_s}", flush=True)
-        if step % cfg.train.checkpoint_every == 0 or step == cfg.train.total_steps:
-            ckpt.save(state)
+    try:
+        for i in range(start, cfg.train.total_steps):
+            if preempted["flag"]:
+                print(
+                    f"[sgg.train] preemption signal — checkpointing at step {i} "
+                    "and exiting",
+                    flush=True,
+                )
+                ckpt.save(state)
+                ckpt.close()
+                return 0
+            batch = first_batch if i == start else next(it)
+            if profiler:
+                profiler.maybe_start(i)
+            state, metrics = step_fn(state, batch)
+            step = i + 1
+            if profiler and profiler.maybe_stop(step):
+                print(f"[sgg.train] profile trace → {profiler.logdir}", flush=True)
+            if step % cfg.train.log_every == 0 or step == cfg.train.total_steps:
+                scalars = logger.log(step, metrics, images_per_step=images_per_step)
+                msg = " ".join(
+                    f"{k}={scalars[k]:.4f}"
+                    for k in ("d_loss", "g_loss", "w_dist", "gp")
+                    if k in scalars
+                )
+                ips = scalars.get("images_per_sec_per_chip")
+                ips_s = f" img/s/chip={ips:.1f}" if ips else ""
+                print(f"[sgg.train] step {step}: {msg}{ips_s}", flush=True)
+            if step % cfg.train.checkpoint_every == 0 or step == cfg.train.total_steps:
+                ckpt.save(state)
+    finally:
+        _restore_handlers()
     ckpt.close()
     logger.close()
     print(f"[sgg.train] done at step {int(state.step)} → {cfg.workdir}", flush=True)

@@ -41,13 +41,18 @@ def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     model = max(1, spec.model)
-    if n % model:
-        raise ValueError(f"model axis {model} does not divide device count {n}")
-    data = spec.data if spec.data > 0 else n // model
-    if data * model != n:
-        raise ValueError(
-            f"mesh {data}x{model} != {n} devices; set data=-1 to infer"
-        )
+    if spec.data > 0:
+        # Explicit sizes may select a sub-mesh (first data*model devices).
+        data = spec.data
+        if data * model > n:
+            raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+        devices = devices[: data * model]
+    else:
+        if n % model:
+            raise ValueError(
+                f"model axis {model} does not divide device count {n}"
+            )
+        data = n // model
     # Auto axis types → GSPMD propagation: the partitioner infers internal
     # shardings and inserts collectives from the in/out NamedShardings alone,
     # so model code stays mesh-agnostic. (This JAX defaults to Explicit axes,

@@ -41,8 +41,13 @@ def batch(cfg):
 def test_mesh_construction():
     mesh = make_mesh(MeshSpec(data=-1, model=1))
     assert mesh.shape == {"data": 8, "model": 1}
+    # explicit sizes may select a sub-mesh
+    sub = make_mesh(MeshSpec(data=3, model=1))
+    assert sub.shape == {"data": 3, "model": 1}
     with pytest.raises(ValueError):
-        make_mesh(MeshSpec(data=3, model=1))
+        make_mesh(MeshSpec(data=9, model=1))  # more than available
+    with pytest.raises(ValueError):
+        make_mesh(MeshSpec(data=-1, model=3))  # doesn't divide 8
 
 
 def test_sharded_step_runs_and_params_replicated(cfg, batch):

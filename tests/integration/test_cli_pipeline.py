@@ -66,6 +66,35 @@ def test_generate_scene_graphs(pipedir):
     assert sum(t["count"] for t in g) == 8
 
 
+def test_train_and_generate_end_to_end_encoder(tmp_path):
+    """Encoder config: generate runs the frozen backbone on images."""
+    wd = str(tmp_path / "img_run")
+    args = [
+        "--config", "smoke", "--workdir", wd,
+        "--set", "model.encoder=vgg19",
+        "--set", "data.image_size=16",  # 1x1 conv5 grid: cheap CPU compile
+        "--set", "data.regions=1",
+        "--set", "data.feat_dim=512",
+        "--set", "data.num_synthetic_images=16",
+        "--set", "train.batch_size=2",
+        "--set", "train.n_critic=1",
+        "--set", "train.checkpoint_every=2",
+        # partitioning the full VGG step over 8 fake devices is too slow to
+        # compile on CI CPUs — use a 1-device sub-mesh
+        "--set", "mesh.data=1", "--set", "mesh.model=1",
+        "--steps", "2",
+    ]
+    assert cli_train.main(args) == 0
+    out = str(tmp_path / "img_graphs.json")
+    rc = cli_generate.main(
+        ["--workdir", wd, "--out", out, "--num-samples", "4",
+         "--num-images", "4", "--batch-size", "2"]
+    )
+    assert rc == 0
+    d = json.load(open(out))
+    assert len(d["scene_graphs"]) == 4
+
+
 def test_generate_without_checkpoint_fails_cleanly(pipedir, tmp_path):
     wd = tmp_path / "empty_run"
     os.makedirs(wd / "checkpoints", exist_ok=True)
