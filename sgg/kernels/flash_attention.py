@@ -5,10 +5,11 @@ the S×S score matrix never materializes in HBM; each (batch·head, q-block)
 program streams K/V blocks through VMEM, maintaining the running max /
 normalizer / accumulator of the online-softmax recurrence in f32 scratch.
 
-Forward is the Pallas kernel; backward is a ``custom_vjp`` that recomputes
-attention with the jax.lax reference (exact same math, XLA-fused) — the
-standard remat trade: no S×S residuals saved from the forward.
-Non-TPU backends run the kernel in interpreter mode for parity tests.
+Forward is the Pallas kernel; backward (``custom_vjp``) is the standard
+flash backward — two q-/kv-stationary Pallas kernels that recompute p
+blockwise from the saved (q, k, v, o, lse), so no S×S tensor ever exists
+in HBM in either direction (see flash_attention_bwd.py).
+Non-TPU backends run the kernels in interpreter mode for parity tests.
 """
 
 from __future__ import annotations
@@ -182,15 +183,19 @@ def flash_attention(
 
 
 def _fa_fwd(q, k, v, scale, block_q, block_k):
-    out = flash_attention(q, k, v, scale, block_q, block_k)
-    return out, (q, k, v)
+    D = q.shape[-1]
+    s = (D**-0.5) if scale is None else scale
+    out, lse = _fa_forward(q, k, v, s, block_q, block_k, return_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _fa_bwd(scale, block_q, block_k, res, g):
-    q, k, v = res
-    # Rematerialized backward through the reference formulation.
-    _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v, scale), q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    from sgg.kernels.flash_attention_bwd import flash_attention_bwd
+
+    D = q.shape[-1]
+    s = (D**-0.5) if scale is None else scale
+    return flash_attention_bwd(q, k, v, o, lse, g, s, block_q, block_k)
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)

@@ -111,6 +111,29 @@ def test_flash_attention_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("b,h,s,d", [(1, 2, 100, 32), (2, 2, 256, 64)])
+def test_flash_backward_kernels_match_reference(b, h, s, d):
+    """Pallas dq/dk/dv kernels vs autodiff through the unfused reference,
+    including ragged (padded) sequence lengths."""
+    r = np.random.RandomState(7)
+    q = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    do = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+
+    from sgg.kernels.flash_attention import flash_attention_with_lse
+    from sgg.kernels.flash_attention_bwd import flash_attention_bwd
+
+    o, lse = flash_attention_with_lse(q, k, v, None, 128, 128)
+    dq, dk, dv = flash_attention_bwd(q, k, v, o, lse, do, d**-0.5, 128, 128)
+
+    _, vjp = jax.vjp(lambda q, k, v: attention_reference(q, k, v), q, k, v)
+    dq_r, dk_r, dv_r = vjp(do)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_r), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_r), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r), rtol=1e-3, atol=2e-3)
+
+
 def test_conv_auto_routing_matches_pallas():
     """'auto' (currently the XLA path) and the forced Mosaic path agree."""
     r = np.random.RandomState(3)
