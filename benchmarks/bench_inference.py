@@ -23,7 +23,7 @@ from sgg.train.state import create_train_state
 BATCH, REGIONS, FEAT, VOCAB, K = 64, 196, 512, 1024, 50
 
 
-def main(iters: int = 10) -> None:
+def main(iters: int = 200) -> None:
     cfg = get_config("vg1k")
     cfg.model.vocab_size = VOCAB
     cfg.data.regions, cfg.data.feat_dim = REGIONS, FEAT
