@@ -45,13 +45,43 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
-    def restore(self, abstract_state: GANTrainState) -> GANTrainState | None:
-        """Restore latest checkpoint into the structure of ``abstract_state``."""
+    def restore(
+        self, abstract_state: GANTrainState, lenient: bool = True
+    ) -> GANTrainState | None:
+        """Restore latest checkpoint into the structure of ``abstract_state``.
+
+        With ``lenient`` (default), structure drift between the checkpoint
+        and the current TrainState (e.g. fields added in newer versions)
+        falls back to a partial restore: matching subtrees load, new fields
+        keep their initialized values, and a warning is printed.
+        """
         step = self._mgr.latest_step()
         if step is None:
             return None
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        try:
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        except Exception as strict_err:  # noqa: BLE001 — orbax raises ValueError subtypes
+            if not lenient:
+                raise
+            import sys
+
+            print(
+                f"[sgg.checkpoint] strict restore failed "
+                f"({type(strict_err).__name__}); retrying with optional "
+                "fields dropped — they keep their initialized values",
+                file=sys.stderr,
+            )
+            # Known drift class: optional TrainState fields (enc_params)
+            # added after the checkpoint was written — the checkpoint holds
+            # None where the new state holds a subtree. Restore the old
+            # structure, then graft the initialized values back.
+            legacy = abstract_state.replace(enc_params=None)
+            target = jax.tree.map(ocp.utils.to_shape_dtype_struct, legacy)
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(target)
+            )
+            return restored.replace(enc_params=abstract_state.enc_params)
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

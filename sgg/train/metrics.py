@@ -15,11 +15,18 @@ import jax
 
 class MetricLogger:
     def __init__(self, workdir: str, just_logging: bool = False):
+        import os
+
         from clu import metric_writers
 
         self._writer = metric_writers.create_default_writer(
             workdir, just_logging=just_logging
         )
+        # Machine-readable mirror next to the TensorBoard events.
+        self._jsonl = None
+        if not just_logging:
+            os.makedirs(workdir, exist_ok=True)
+            self._jsonl = open(os.path.join(workdir, "metrics.jsonl"), "a")
         self._last_time: float | None = None
         self._last_step: int | None = None
 
@@ -36,6 +43,11 @@ class MetricLogger:
             scalars["steps_per_sec"] = steps / dt
         self._last_time, self._last_step = now, step
         self._writer.write_scalars(step, scalars)
+        if self._jsonl is not None:
+            import json
+
+            self._jsonl.write(json.dumps({"step": step, **scalars}) + "\n")
+            self._jsonl.flush()
         return scalars
 
     def flush(self):
@@ -43,3 +55,5 @@ class MetricLogger:
 
     def close(self):
         self._writer.close()
+        if self._jsonl is not None:
+            self._jsonl.close()

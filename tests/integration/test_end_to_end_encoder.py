@@ -29,7 +29,7 @@ def _cfg(encoder, regions, feat_dim, image_size=32):
 
 @pytest.mark.parametrize(
     "encoder,regions,feat_dim",
-    [("vgg19", 4, 512), ("vit_b16", 4, 768)],
+    [("vgg19", 4, 512), ("vit_b16", 4, 768), ("resnet50", 1, 2048)],
 )
 def test_fused_step_with_on_device_encoder(encoder, regions, feat_dim):
     cfg = _cfg(encoder, regions, feat_dim)
