@@ -73,8 +73,10 @@ def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BAT
     state = create_train_state(cfg, jax.random.key(0))
     fn = make_step_fn(cfg)
 
+    # batch is a jit ARGUMENT: closing over it would bake ~100s of MB into
+    # the program as a constant (oversized for remote-compile transports).
     @functools.partial(jax.jit, static_argnames="iters")
-    def run(state, iters):
+    def run(state, batch, iters):
         def body(s, _):
             s2, metrics = fn(s, batch)
             return s2, metrics["d_loss"]
@@ -83,8 +85,8 @@ def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BAT
         return losses[-1]
 
     n1, n2 = max(1, warmup), max(2, steps)
-    float(run(state, n1))  # compile both scan lengths
-    float(run(state, n2))
+    float(run(state, batch, n1))  # compile both scan lengths
+    float(run(state, batch, n2))
 
     # Tunnel dispatch jitter is tens of ms → use a wide n2−n1 gap and
     # min-of-repeats so the difference is dominated by real device compute.
@@ -94,7 +96,7 @@ def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BAT
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(run(state, iters))
+            float(run(state, batch, iters))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -124,6 +126,8 @@ def main(argv=None) -> int:
                    help="long scan length (marginal timing upper point)")
     p.add_argument("--warmup", type=int, default=4,
                    help="short scan length (marginal timing lower point)")
+    p.add_argument("--batch", type=int, default=BATCH,
+                   help="per-chip batch size (baseline config uses 32)")
     p.add_argument("--cpu-baseline", action="store_true",
                    help="measure the CPU denominator and write the cache file")
     p.add_argument("--refresh-baseline", action="store_true")
@@ -137,7 +141,10 @@ def main(argv=None) -> int:
         print(json.dumps(payload))
         return 0
 
-    ips, sec = measure(steps=args.steps, warmup=args.warmup, platform=None)
+    ips, sec = measure(
+        steps=args.steps, warmup=args.warmup, platform=None,
+        batch_size=args.batch,
+    )
     try:
         base = cpu_baseline(refresh=args.refresh_baseline)
         vs = ips / base if base > 0 else None

@@ -1,0 +1,83 @@
+"""High-level library API: one object from workdir to scene graphs.
+
+The "switch from the reference" entry point for library users (the CLIs
+wrap the same pieces): load a trained run's self-describing workdir and turn
+images or precomputed features into deduped scene graphs.
+
+    from sgg.api import SceneGraphGenerator
+    g = SceneGraphGenerator.from_workdir("/runs/vg1k")
+    graphs = g.generate_from_features(feats)          # [B, R, F]
+    graphs = g.generate_from_images(images_u8)        # [B, H, W, 3] (encoder configs)
+    graphs = g.generate_from_paths(["img1.jpg", …])
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgg.eval import assemble_scene_graph, make_sampler
+from sgg.train.checkpoint import CheckpointManager, load_workdir
+from sgg.train.state import create_train_state
+
+
+class SceneGraphGenerator:
+    def __init__(self, cfg, vocab, state, num_samples: int = 50, seed: int = 0):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.state = state
+        self.num_samples = num_samples
+        self._rng = jax.random.key(seed)
+        self._sampler = make_sampler(
+            cfg, step_mask=vocab.step_mask(), num_samples=num_samples
+        )
+        self._encode = None
+        if cfg.model.encoder != "precomputed":
+            from sgg.models.encoders import make_encoder, normalize_for
+
+            enc = make_encoder(cfg.model.encoder, dtype=cfg.model.dtype)
+
+            @jax.jit
+            def encode(params, images_u8):
+                return enc.apply(params, normalize_for(cfg.model.encoder, images_u8))
+
+            self._encode = encode
+
+    @classmethod
+    def from_workdir(
+        cls, workdir: str, num_samples: int = 50, seed: int = 0
+    ) -> "SceneGraphGenerator":
+        cfg, vocab = load_workdir(workdir)
+        cfg.model.vocab_size = len(vocab)
+        state = create_train_state(cfg, jax.random.key(0))
+        restored = CheckpointManager(workdir, cfg).restore(state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint in {workdir}")
+        return cls(cfg, vocab, restored, num_samples=num_samples, seed=seed)
+
+    # ------------------------------------------------------------- generate
+    def generate_from_features(self, feats) -> list[dict]:
+        """float[B, R, F] → per-image scene-graph dicts (triples by count)."""
+        feats = jnp.asarray(feats, self.cfg.model.dtype)
+        self._rng, sub = jax.random.split(self._rng)
+        tokens = np.asarray(self._sampler(self.state.g_params, feats, sub))
+        return [
+            assemble_scene_graph(tokens[i], self.vocab) for i in range(len(tokens))
+        ]
+
+    def generate_from_images(self, images_u8) -> list[dict]:
+        """uint8[B, H, W, 3] → scene graphs (requires an encoder config)."""
+        if self._encode is None:
+            raise ValueError(
+                "this run used precomputed features; call generate_from_features"
+            )
+        feats = self._encode(self.state.enc_params, jnp.asarray(images_u8))
+        return self.generate_from_features(feats)
+
+    def generate_from_paths(self, paths: list[str]) -> list[dict]:
+        from sgg.data.extract import load_batch
+
+        return self.generate_from_images(
+            load_batch(list(paths), self.cfg.data.image_size)
+        )
