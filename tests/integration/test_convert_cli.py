@@ -1,0 +1,77 @@
+"""convert CLI: reference npz + vocab → workdir that generate can consume."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sgg.cli import convert as cli_convert
+from sgg.cli import generate as cli_generate
+
+
+def test_convert_then_generate(tmp_path):
+    import jax
+
+    from sgg.config import get_config
+    from sgg.data.vocab import Vocab
+    from sgg.train.state import create_train_state
+
+    vocab = Vocab.build(
+        {c: 10 - i for i, c in enumerate("abcdefgh")}, {"on": 5, "near": 4}
+    )
+    vocab.save(str(tmp_path / "vocab.json"))
+
+    cfg = get_config("smoke")
+    cfg.model.vocab_size = len(vocab)
+    p = create_train_state(cfg, jax.random.key(0)).g_params
+    r = np.random.RandomState(11)
+    rnd = lambda a: (r.randn(*np.shape(a)) * 0.1).astype(np.float32)
+    np.savez(
+        str(tmp_path / "ref.npz"),
+        **{
+            "generator/embedding/weights": rnd(p["token_embedding"]),
+            "generator/init_c/weights": rnd(p["init_c"]["kernel"]),
+            "generator/init_c/biases": rnd(p["init_c"]["bias"]),
+            "generator/init_h/weights": rnd(p["init_h"]["kernel"]),
+            "generator/init_h/biases": rnd(p["init_h"]["bias"]),
+            "generator/rnn/basic_lstm_cell/kernel": rnd(p["TF1LSTMCell_0"]["kernel"]),
+            "generator/rnn/basic_lstm_cell/bias": rnd(p["TF1LSTMCell_0"]["bias"]),
+            "generator/attention/feat_proj/weights": rnd(
+                p["AdditiveAttention_0"]["feat_proj"]["kernel"]),
+            "generator/attention/state_proj/weights": rnd(
+                p["AdditiveAttention_0"]["state_proj"]["kernel"]),
+            "generator/attention/state_proj/biases": rnd(
+                p["AdditiveAttention_0"]["state_proj"]["bias"]),
+            "generator/attention/score/weights": rnd(
+                p["AdditiveAttention_0"]["score"]["kernel"]),
+            "generator/deep_out/weights": rnd(p["deep_out"]["kernel"]),
+            "generator/deep_out/biases": rnd(p["deep_out"]["bias"]),
+            "generator/logits/weights": rnd(p["vocab_proj"]["kernel"]),
+            "generator/logits/biases": rnd(p["vocab_proj"]["bias"]),
+        },
+    )
+
+    wd = str(tmp_path / "converted")
+    rc = cli_convert.main(
+        ["--config", "smoke", "--workdir", wd,
+         "--npz", str(tmp_path / "ref.npz"),
+         "--vocab", str(tmp_path / "vocab.json")]
+    )
+    assert rc == 0
+
+    out = str(tmp_path / "graphs.json")
+    rc = cli_generate.main(
+        ["--workdir", wd, "--out", out, "--num-samples", "4",
+         "--num-images", "4", "--batch-size", "4"]
+    )
+    assert rc == 0
+    d = json.load(open(out))
+    assert len(d["scene_graphs"]) == 4
+    # decoded tokens come from the converted vocab
+    t = d["scene_graphs"][0]["triples"][0]
+    assert t["subject"] in vocab.tokens and t["predicate"] in vocab.tokens
+
+
+def test_convert_requires_source(tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        cli_convert.main(["--workdir", str(tmp_path), "--vocab", "x.json"])
