@@ -47,6 +47,24 @@ def test_sp_attention_matches_full(qkv, mode):
     assert got.sharding.spec == P(None, None, "data", None)
 
 
+def test_ring_is_differentiable(qkv):
+    """Ring-reduce backward: grads match full-attention autodiff."""
+    q, k, v = qkv
+    mesh = make_mesh(MeshSpec(data=4, model=1), devices=jax.devices()[:4])
+    sp = make_sp_attention(mesh, mode="ring", seq_axis="data")
+
+    def loss(q, k, v):
+        return (sp(q, k, v) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (attention_reference(q, k, v) ** 2).sum()
+
+    g1 = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3)
+
+
 def test_ulysses_is_differentiable(qkv):
     q, k, v = qkv
     mesh = make_mesh(MeshSpec(data=4, model=1), devices=jax.devices()[:4])
