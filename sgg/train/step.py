@@ -130,16 +130,18 @@ def make_step_fn(
         d_keys = jax.random.split(rng_d, n_critic)
 
         def critic_iter(carry, inp):
-            d_params, d_opt = carry
-            raw, real_ids, key = inp
-            feats = get_feats(raw)
-            (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                d_params, state.g_params, feats, real_ids, key, tau
-            )
-            grads = maybe_pmean(grads)
-            updates, d_opt = d_tx.update(grads, d_opt, d_params)
-            d_params = optax.apply_updates(d_params, updates)
-            return (d_params, d_opt), aux
+            with jax.named_scope("critic_update"):
+                d_params, d_opt = carry
+                raw, real_ids, key = inp
+                with jax.named_scope("encoder"):
+                    feats = get_feats(raw)
+                (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                    d_params, state.g_params, feats, real_ids, key, tau
+                )
+                grads = maybe_pmean(grads)
+                updates, d_opt = d_tx.update(grads, d_opt, d_params)
+                d_params = optax.apply_updates(d_params, updates)
+                return (d_params, d_opt), aux
 
         (d_params, d_opt_state), d_aux = jax.lax.scan(
             critic_iter,
@@ -148,14 +150,15 @@ def make_step_fn(
         )
 
         # ---- one generator update on the final fresh sub-batch ----
-        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.g_params, d_params, get_feats(data[n_critic]), rng_g, tau
-        )
-        g_grads = maybe_pmean(g_grads)
-        g_updates, g_opt_state = g_tx.update(
-            g_grads, state.g_opt_state, state.g_params
-        )
-        g_params = optax.apply_updates(state.g_params, g_updates)
+        with jax.named_scope("generator_update"):
+            (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.g_params, d_params, get_feats(data[n_critic]), rng_g, tau
+            )
+            g_grads = maybe_pmean(g_grads)
+            g_updates, g_opt_state = g_tx.update(
+                g_grads, state.g_opt_state, state.g_params
+            )
+            g_params = optax.apply_updates(state.g_params, g_updates)
 
         metrics = {k: v[-1] for k, v in d_aux.items()}  # last critic iter
         metrics.update(g_aux)
