@@ -57,6 +57,26 @@ def test_fused_step_with_on_device_encoder(encoder, regions, feat_dim):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_full_vit_transformer_config_in_fused_step():
+    """The [B:10] combination end-to-end: ViT encoder + transformer decoder
+    (+ flash-attention kernels when on TPU) inside one fused update."""
+    cfg = _cfg("vit_b16", 4, 768)
+    cfg.model.decoder = "transformer"
+    cfg.model.num_heads = 4
+    cfg.model.num_layers = 2
+    state = create_train_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, donate=False)
+    r = np.random.RandomState(3)
+    batch = {
+        "images": jnp.asarray(r.randint(0, 256, (2, 2, 32, 32, 3)), jnp.uint8),
+        "triples": jnp.asarray(r.randint(2, V, (2, 2, 3)), jnp.int32),
+    }
+    new_state, metrics = step(state, batch)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["d_loss"]))
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
 def test_image_iterator_feeds_fused_step():
     cfg = _cfg("vgg19", 4, 512)
     r = np.random.RandomState(1)
