@@ -90,14 +90,26 @@ def main(argv=None) -> int:
     B = args.batch_size
     t0 = time.perf_counter()
     n_sampled = 0
-    for lo in range(0, n_images, B):
+
+    # Pipeline dispatches: issue the sampler for batch i+1 before reading
+    # batch i back — on relay-attached TPUs the per-dispatch round-trip
+    # otherwise serializes with compute.
+    def dispatch(lo):
+        nonlocal rng
         idx = np.arange(lo, min(lo + B, n_images))
         feats = batch_features(idx)
         if feats.shape[0] < B:  # pad to the compiled batch shape
             pad = np.repeat(feats[-1:], B - feats.shape[0], axis=0)
             feats = np.concatenate([feats, pad], axis=0)
         rng, sub = jax.random.split(rng)
-        tokens = np.asarray(sampler(state.g_params, feats, sub))  # [B, K, 3]
+        return idx, sampler(state.g_params, feats, sub)  # async device call
+
+    starts = list(range(0, n_images, B))
+    pending = dispatch(starts[0]) if starts else None
+    for pos, lo in enumerate(starts):
+        idx, fut = pending
+        pending = dispatch(starts[pos + 1]) if pos + 1 < len(starts) else None
+        tokens = np.asarray(fut)  # [B, K, 3] — sync point
         for j, i in enumerate(idx):
             g = assemble_scene_graph(tokens[j], vocab, image_id=int(i))
             graphs.append(g)
