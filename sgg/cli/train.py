@@ -107,8 +107,11 @@ def main(argv=None) -> int:
     else:
         if mesh is not None:
             # Restored/created arrays are committed to one device; replicate
-            # them over the mesh so they compose with sharded batches.
-            state = jax.device_put(state, replicated_sharding(mesh))
+            # them over the mesh so they compose with sharded batches
+            # (multi-host-safe placement).
+            from sgg.dist import host_local_to_global
+
+            state = host_local_to_global(state, replicated_sharding(mesh))
         step_fn = make_train_step(cfg, step_mask=vocab.step_mask(), mesh=mesh)
 
     # Data: device-resident gather pipeline when the features fit HBM

@@ -189,6 +189,13 @@ def make_train_iterator(
         if not device_put:
             return b
         if sharding is not None:
+            if jax.process_count() > 1:
+                # Each process contributes its local batch rows; the runtime
+                # assembles the global sharded array (device_put is illegal
+                # on non-addressable shardings).
+                return jax.tree.map(
+                    lambda x: jax.make_array_from_process_local_data(sharding, x), b
+                )
             return jax.device_put(b, jax.tree.map(lambda _: sharding, b))
         return jax.device_put(b)
 

@@ -13,7 +13,11 @@ from sgg.dist.mesh import (
     replicated_sharding,
     local_batch_size,
 )
-from sgg.dist.multihost import initialize_multihost, process_shard_info
+from sgg.dist.multihost import (
+    host_local_to_global,
+    initialize_multihost,
+    process_shard_info,
+)
 from sgg.dist.sharding import place_state, state_sharding
 from sgg.dist.sequence_parallel import (
     make_sp_attention,
@@ -34,4 +38,5 @@ __all__ = [
     "local_batch_size",
     "initialize_multihost",
     "process_shard_info",
+    "host_local_to_global",
 ]

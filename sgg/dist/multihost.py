@@ -46,3 +46,30 @@ class ProcessShard:
 
 def process_shard_info() -> ProcessShard:
     return ProcessShard(index=jax.process_index(), count=jax.process_count())
+
+
+def place_leaf(x, sharding):
+    """Place one array onto a (possibly non-addressable) sharding.
+
+    Multi-process JAX forbids ``device_put`` onto non-addressable shardings;
+    the supported path is ``make_array_from_process_local_data``. Typed PRNG
+    keys are placed via their underlying uint32 data (they reject
+    np.asarray) and re-wrapped.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    dt = getattr(x, "dtype", None)
+    if dt is not None and jax.dtypes.issubdtype(dt, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(x))
+        g = jax.make_array_from_process_local_data(sharding, data)
+        return jax.random.wrap_key_data(g, impl=jax.random.key_impl(x))
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
+def host_local_to_global(tree, sharding):
+    """Assemble global arrays (one shared sharding) from per-process data:
+    each process contributes its local shard — or the full value, for
+    replicated shardings."""
+    return jax.tree.map(lambda x: place_leaf(x, sharding), tree)

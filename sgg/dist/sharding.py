@@ -98,7 +98,13 @@ def state_sharding(
 
 
 def place_state(state: Any, shardings: Any) -> Any:
-    """device_put the state according to a sharding tree."""
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, s), state, shardings
-    )
+    """Place the state according to a sharding tree.
+
+    Multi-process: every host holds the full value (states are built
+    host-replicated), so ``make_array_from_callback`` slices each host's
+    addressable shards out of it — ``device_put`` onto non-addressable
+    shardings is illegal.
+    """
+    from sgg.dist.multihost import place_leaf
+
+    return jax.tree.map(place_leaf, state, shardings)
