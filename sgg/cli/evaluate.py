@@ -37,11 +37,14 @@ def main(argv=None) -> int:
     cfg, vocab = load_workdir(args.workdir)
     cfg.model.vocab_size = len(vocab)
     if cfg.model.encoder != "precomputed":
+        # Image-backed datasets have no .features to sample from — bail out
+        # cleanly instead of crashing on the attribute below.
         print(
             "[sgg.evaluate] end-to-end configs: use sgg.cli.generate "
             "--recall-k (features must be encoded per image)",
             file=sys.stderr,
         )
+        return 1
     ds, _ = load_dataset(cfg, split=args.split)
     n_images = min(args.num_images or len(ds), len(ds))
 

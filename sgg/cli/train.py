@@ -118,8 +118,13 @@ def main(argv=None) -> int:
     # (zero per-step host traffic); host prefetch iterator otherwise.
     from sgg.data import TripleDataset, make_device_train_iterator
 
+    # Device-resident data commits process-local arrays, which cannot satisfy
+    # a non-addressable global sharding — multi-host runs must take the
+    # host-prefetch path (it builds global arrays via
+    # make_array_from_process_local_data).
     use_device_data = (
         cfg.data.device_resident
+        and jax.process_count() == 1
         and isinstance(ds, TripleDataset)
         and ds.features.nbytes <= cfg.data.device_resident_max_bytes
     )

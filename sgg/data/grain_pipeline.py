@@ -68,15 +68,23 @@ def make_grain_iterator(
         worker_count=num_workers,
     )
 
+    def put(batch: dict) -> dict:
+        if sharding is None:
+            return batch
+        if jax.process_count() > 1:
+            # device_put onto a non-addressable global sharding is illegal;
+            # each process contributes its local rows instead (mirrors
+            # sgg.data.pipeline's put()).
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(sharding, x),
+                batch,
+            )
+        return jax.device_put(batch, jax.tree.map(lambda _: sharding, batch))
+
     def gen():
         it = iter(loader)
         while True:
             subs = [next(it) for _ in range(n_sub)]
-            batch = {k: np.stack([s[k] for s in subs]) for k in subs[0]}
-            if sharding is not None:
-                batch = jax.device_put(
-                    batch, jax.tree.map(lambda _: sharding, batch)
-                )
-            yield batch
+            yield put({k: np.stack([s[k] for s in subs]) for k in subs[0]})
 
     return gen()

@@ -15,11 +15,24 @@ def recall_at_k(
     ground_truth: list[tuple[int, int, int]] | np.ndarray,
     k: int = 50,
 ) -> float:
-    """Per-image recall@k. ``generated`` must be ordered by confidence."""
+    """Per-image recall@k. ``generated`` must be ordered by confidence.
+
+    Duplicate generated triples are collapsed (first occurrence keeps the
+    rank) before the top-k cut, so a caller passing raw samples gets the
+    same answer as one that pre-dedupes.
+    """
     gt = {tuple(int(x) for x in t) for t in np.asarray(ground_truth).reshape(-1, 3)}
     if not gt:
         return 0.0
-    top = [tuple(int(x) for x in t) for t in np.asarray(generated).reshape(-1, 3)[:k]]
+    seen: set = set()
+    top: list = []
+    for t in np.asarray(generated).reshape(-1, 3):
+        tt = tuple(int(x) for x in t)
+        if tt not in seen:
+            seen.add(tt)
+            top.append(tt)
+            if len(top) == k:
+                break
     return len(gt & set(top)) / len(gt)
 
 

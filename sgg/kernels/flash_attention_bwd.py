@@ -76,8 +76,9 @@ def _dq_kernel(
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, dstat_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, scale, s_len, tq,
+    dk_acc, dv_acc, *, scale, s_len, tq, tk,
 ):
+    kb = pl.program_id(1)
     qb = pl.program_id(2)
 
     @pl.when(qb == 0)
@@ -96,9 +97,11 @@ def _dkv_kernel(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (TQ, TK)
     # Mask BOTH padded queries (rows — their lse/dstat are garbage) and
-    # padded keys (columns — no gradient flows to the zero tail).
+    # padded keys (columns — so dk/dv rows for the padded tail are exact
+    # zeros, not garbage the caller must slice off).
     row = qb * tq + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    s = jnp.where(row < s_len, s, _NEG_INF)
+    col = kb * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where((row < s_len) & (col < s_len), s, _NEG_INF)
     p = jnp.exp(s - jnp.where(row < s_len, lse, 0.0))  # (TQ, TK)
 
     dv_acc[:] += jax.lax.dot_general(
@@ -174,7 +177,7 @@ def flash_attention_bwd(
     kspec_b = pl.BlockSpec((1, tk, D), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM)
     stat_b = pl.BlockSpec((1, tq, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, s_len=S, tq=tq),
+        functools.partial(_dkv_kernel, scale=scale, s_len=S, tq=tq, tk=tk),
         grid=(BH, Sk // tk, Sq // tq),
         in_specs=[qspec_b, kspec_b, kspec_b, qspec_b, stat_b, stat_b],
         out_specs=(kspec_b, kspec_b),
