@@ -88,6 +88,19 @@ def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BAT
     float(run(state, batch, n1))  # compile both scan lengths
     float(run(state, batch, n2))
 
+    # FLOPs per fused step from XLA's own cost model on a single-step
+    # program (the scanned program reports body flops once, independent of
+    # trip count, so differencing scan lengths yields zero).
+    def step_flops():
+        try:
+            ca = jax.jit(fn).lower(state, batch).compile().cost_analysis()
+            return float(ca["flops"]) if ca and "flops" in ca else None
+        except Exception as e:  # pragma: no cover - backend-dependent
+            print(f"[bench] cost_analysis unavailable: {e!r}", file=sys.stderr)
+            return None
+
+    flops_per_step = step_flops()
+
     # Tunnel dispatch jitter is tens of ms → use a wide n2−n1 gap and
     # min-of-repeats so the difference is dominated by real device compute.
     repeats = 3 if jax.default_backend() != "cpu" else 1
@@ -102,7 +115,30 @@ def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BAT
 
     per_step = max((t(n2) - t(n1)) / (n2 - n1), 1e-12)
     ips = batch_size * n_sub / per_step
-    return ips / max(1, jax.local_device_count()), per_step
+    tflops = flops_per_step / per_step / 1e12 if flops_per_step else None
+    mfu = None
+    peak = _peak_tflops(jax.devices()[0].device_kind)
+    if tflops is not None and peak is not None:
+        mfu = tflops / peak
+    return ips / max(1, jax.local_device_count()), per_step, tflops, mfu
+
+
+# bf16 peak TFLOP/s per chip, by device kind (public TPU specs).
+_PEAKS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def _peak_tflops(device_kind: str) -> float | None:
+    for k, v in _PEAKS.items():
+        if device_kind.startswith(k):
+            return v
+    return None
 
 
 def cpu_baseline(refresh: bool = False) -> float:
@@ -134,14 +170,14 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     if args.cpu_baseline:
-        ips, sec = measure(steps=3, warmup=1, platform="cpu")
+        ips, sec, _, _ = measure(steps=3, warmup=1, platform="cpu")
         payload = {"images_per_sec_per_chip": ips, "sec_per_step": sec}
         with open(CPU_CACHE, "w") as f:
             json.dump(payload, f)
         print(json.dumps(payload))
         return 0
 
-    ips, sec = measure(
+    ips, sec, tflops, mfu = measure(
         steps=args.steps, warmup=args.warmup, platform=None,
         batch_size=args.batch,
     )
@@ -151,16 +187,17 @@ def main(argv=None) -> int:
     except Exception as e:
         print(f"[bench] cpu baseline unavailable: {e}", file=sys.stderr)
         vs = None
-    print(
-        json.dumps(
-            {
-                "metric": "gan_train_images_per_sec_per_chip",
-                "value": round(ips, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(vs, 2) if vs is not None else None,
-            }
-        )
-    )
+    out = {
+        "metric": "gan_train_images_per_sec_per_chip",
+        "value": round(ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }
+    if tflops is not None:
+        out["tflops_per_sec"] = round(tflops, 2)
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    print(json.dumps(out))
     return 0
 
 

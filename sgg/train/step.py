@@ -158,6 +158,7 @@ def make_step_fn(
                 critic_iter,
                 (state.d_params, state.d_opt_state),
                 (data[:n_critic], batch["triples"][:n_critic], fakes, d_keys),
+                unroll=min(cfg.train.critic_unroll, n_critic),
             )
         else:
 
@@ -183,6 +184,7 @@ def make_step_fn(
                 critic_iter,
                 (state.d_params, state.d_opt_state),
                 (data[:n_critic], batch["triples"][:n_critic], d_keys),
+                unroll=min(cfg.train.critic_unroll, n_critic),
             )
 
         # ---- one generator update on the final fresh sub-batch ----
