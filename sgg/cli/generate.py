@@ -23,7 +23,7 @@ import numpy as np
 from sgg.cli.common import add_platform_arg, apply_platform, load_dataset
 from sgg.config import Config
 from sgg.data.vocab import Vocab
-from sgg.eval import assemble_scene_graph, corpus_recall, make_sampler
+from sgg.eval import assemble_scene_graphs, corpus_recall, make_sampler
 from sgg.train.checkpoint import CheckpointManager, load_workdir
 from sgg.train.state import create_train_state
 
@@ -57,9 +57,6 @@ def main(argv=None) -> int:
     state = restored
     print(f"[sgg.generate] restored step {int(state.step)}", flush=True)
 
-    sampler = make_sampler(
-        cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples
-    )
     rng = jax.random.key(args.seed)
 
     # End-to-end configs: run the frozen backbone (from the checkpoint's
@@ -86,10 +83,31 @@ def main(argv=None) -> int:
             imgs = load_batch([ds.paths[int(i)] for i in idx], ds.image_size)
         return np.asarray(encode(state.enc_params, imgs), np.float32)
 
-    graphs, gen_triples, gt_triples = [], [], []
+    # Device-resident fast path: upload the whole feature set to HBM once
+    # (chunked — BASELINE.md documents the relay's large-transfer cliff) and
+    # gather per-batch by index inside the jitted sampler. Per-batch host↔
+    # device traffic drops from a [B,R,F] slab to B indices + B·K·3 tokens.
+    from sgg.eval.sampler import device_put_features, make_indexed_sampler
+
     B = args.batch_size
-    t0 = time.perf_counter()
-    n_sampled = 0
+    device_resident = (
+        encode is None
+        and hasattr(ds, "features")
+        and ds.features.nbytes <= cfg.data.device_resident_max_bytes
+    )
+    t_up = 0.0
+    if device_resident:
+        t0 = time.perf_counter()
+        feats_dev = device_put_features(ds.features, dtype=cfg.model.dtype)
+        jax.block_until_ready(feats_dev)
+        t_up = time.perf_counter() - t0
+        sampler = make_indexed_sampler(
+            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples
+        )
+    else:
+        sampler = make_sampler(
+            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples
+        )
 
     # Pipeline dispatches: issue the sampler for batch i+1 before reading
     # batch i back — on relay-attached TPUs the per-dispatch round-trip
@@ -97,37 +115,49 @@ def main(argv=None) -> int:
     def dispatch(lo):
         nonlocal rng
         idx = np.arange(lo, min(lo + B, n_images))
-        feats = batch_features(idx)
-        if feats.shape[0] < B:  # pad to the compiled batch shape
-            pad = np.repeat(feats[-1:], B - feats.shape[0], axis=0)
-            feats = np.concatenate([feats, pad], axis=0)
         rng, sub = jax.random.split(rng)
-        return idx, sampler(state.g_params, feats, sub)  # async device call
+        if device_resident:
+            pad_idx = (
+                np.concatenate([idx, np.repeat(idx[-1:], B - len(idx))])
+                if len(idx) < B else idx
+            )
+            fut = sampler(state.g_params, feats_dev, pad_idx, sub)
+        else:
+            feats = batch_features(idx)
+            if feats.shape[0] < B:  # pad to the compiled batch shape
+                pad = np.repeat(feats[-1:], B - feats.shape[0], axis=0)
+                feats = np.concatenate([feats, pad], axis=0)
+            fut = sampler(state.g_params, feats, sub)
+        return idx, fut  # async device call
 
+    graphs, gen_triples, gt_triples = [], [], []
+    n_sampled = 0
     starts = list(range(0, n_images, B))
+    if starts:  # warm the compile outside the throughput window
+        jax.block_until_ready(dispatch(starts[0])[1])
+    t0 = time.perf_counter()
     pending = dispatch(starts[0]) if starts else None
     for pos, lo in enumerate(starts):
         idx, fut = pending
         pending = dispatch(starts[pos + 1]) if pos + 1 < len(starts) else None
         tokens = np.asarray(fut)  # [B, K, 3] — sync point
-        for j, i in enumerate(idx):
-            g = assemble_scene_graph(tokens[j], vocab, image_id=int(i))
-            graphs.append(g)
-            gen_triples.append(
-                [(vocab.id(t["subject"]), vocab.id(t["predicate"]), vocab.id(t["object"]))
-                 for t in g["triples"]]
-            )
-            gt_triples.append([tuple(map(int, t)) for t in ds.triples[i]])
-            n_sampled += tokens.shape[1]
+        gs, ids = assemble_scene_graphs(tokens[: len(idx)], vocab, idx)
+        graphs.extend(gs)
+        gen_triples.extend(ids)
+        gt_triples.extend(
+            [tuple(map(int, t)) for t in ds.triples[i]] for i in idx
+        )
+        n_sampled += len(idx) * tokens.shape[1]
     dt = time.perf_counter() - t0
 
     out_path = args.out or os.path.join(args.workdir, "scene_graphs.json")
     with open(out_path, "w") as f:
         json.dump({"num_images": n_images, "scene_graphs": graphs}, f, indent=2)
     triples_per_sec = n_sampled / dt if dt > 0 else 0.0
+    up = f" (+{t_up:.2f}s one-time feature upload)" if t_up else ""
     print(
         f"[sgg.generate] {n_images} images, {n_sampled} triples in {dt:.2f}s "
-        f"({triples_per_sec:.0f} triples/sec) → {out_path}",
+        f"({triples_per_sec:.0f} triples/sec){up} → {out_path}",
         flush=True,
     )
     if args.recall_k:

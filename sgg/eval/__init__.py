@@ -5,12 +5,21 @@ different noise draws, aggregate/dedupe into a scene graph, and score
 generated triples against Visual Genome ground truth with recall@k.
 """
 
-from sgg.eval.sampler import make_sampler, assemble_scene_graph
+from sgg.eval.sampler import (
+    assemble_scene_graph,
+    assemble_scene_graphs,
+    device_put_features,
+    make_indexed_sampler,
+    make_sampler,
+)
 from sgg.eval.recall import recall_at_k, corpus_recall
 
 __all__ = [
     "make_sampler",
+    "make_indexed_sampler",
+    "device_put_features",
     "assemble_scene_graph",
+    "assemble_scene_graphs",
     "recall_at_k",
     "corpus_recall",
 ]

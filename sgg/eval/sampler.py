@@ -10,8 +10,6 @@ batch instead of k·B session calls.
 
 from __future__ import annotations
 
-from collections import Counter
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +44,106 @@ def make_sampler(cfg: Config, step_mask=None, num_samples: int = 50, tau: float 
     return jax.jit(sample)
 
 
+def make_indexed_sampler(
+    cfg: Config, step_mask=None, num_samples: int = 50, tau: float | None = None
+):
+    """Device-resident variant: (g_params, feats_dev [N,R,F], idx i32[B], rng)
+    → tokens int32[B, K, 3], with the feature gather INSIDE the jit.
+
+    Through a relay-attached TPU (~40 MB/s host→device) re-uploading a
+    [B,196,512] feature slab per batch dominates generate wall-clock; with
+    the whole feature set resident in HBM, per-batch traffic is B indices up
+    and B·K·3 int32 down.
+    """
+    gen, _ = make_models(cfg)
+    mask = None if step_mask is None else jnp.asarray(step_mask, bool)
+    tau_val = cfg.train.tau_min if tau is None else tau
+
+    def sample(g_params, feats_dev, idx, rng):
+        feats = jnp.take(feats_dev, idx, axis=0)  # [B, R, F] gather in HBM
+        B = feats.shape[0]
+
+        def one(key):
+            kz, kg = jax.random.split(key)
+            z = jax.random.normal(kz, (B, cfg.model.noise_dim), cfg.model.dtype)
+            out = gen.apply(
+                {"params": g_params}, feats, z, kg,
+                tau=tau_val, hard=True, step_mask=mask,
+            )
+            return out["tokens"].astype(jnp.int32)
+
+        keys = jax.random.split(rng, num_samples)
+        toks = jax.vmap(one)(keys)  # [K, B, 3]
+        return jnp.transpose(toks, (1, 0, 2))  # [B, K, 3]
+
+    return jax.jit(sample)
+
+
+def device_put_features(
+    features: np.ndarray, dtype=None, chunk_bytes: int = 64 << 20
+):
+    """Upload a [N,R,F] feature array to the device in bounded chunks.
+
+    Two measured relay pathologies motivate this (BASELINE.md round 2):
+    a single 411 MB device_put runs at ~4 MB/s while ≤64 MB chunks sustain
+    ~42 MB/s, and casting to the compute dtype on-device is free whereas a
+    host-side numpy bf16 cast of the same array costs ~7 s on this 1-core
+    host. Returns one concatenated device array in ``dtype``.
+    """
+    n = features.shape[0]
+    per_img = features[0].nbytes if n else 1
+    per = max(1, chunk_bytes // per_img)
+    parts = [jax.device_put(features[i : i + per]) for i in range(0, n, per)]
+    if dtype is None:
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return jax.jit(lambda *ps: jnp.concatenate([p.astype(dtype) for p in ps]))(
+        *parts
+    )
+
+
+def assemble_scene_graphs(
+    tokens: np.ndarray, vocab: Vocab, image_ids
+) -> tuple[list[dict], list[list[tuple[int, int, int]]]]:
+    """Batch dedupe/aggregate: tokens int[B, K, 3] → (graphs, id_triples).
+
+    One corpus-wide ``np.unique`` call instead of B per-image passes — the
+    per-image Python loop was the dominant host cost of the generate CLI
+    once sampling went device-resident (this host has a single core).
+    ``id_triples`` lists each image's unique (s,p,o) id triples in the same
+    confidence order as the graph, for recall scoring without re-encoding.
+    """
+    tokens = np.asarray(tokens)
+    B, K, _ = tokens.shape
+    img = np.repeat(np.arange(B, dtype=np.int64), K)[:, None]
+    flat = np.concatenate([img, tokens.reshape(-1, 3)], axis=1)
+    uniq, counts = np.unique(flat, axis=0, return_counts=True)
+    # per image: count desc, ties lexicographic (matches the single-image
+    # assemble below)
+    order = np.lexsort((-counts,))  # stable; uniq already image-major
+    order = order[np.argsort(uniq[order, 0], kind="stable")]
+    uniq, counts = uniq[order], counts[order]
+    bounds = np.searchsorted(uniq[:, 0], np.arange(B + 1))
+
+    decode_cache: dict = {}
+    graphs, id_triples = [], []
+    for b in range(B):
+        lo, hi = bounds[b], bounds[b + 1]
+        triples, ids = [], []
+        for row, c in zip(uniq[lo:hi, 1:], counts[lo:hi]):
+            t = (int(row[0]), int(row[1]), int(row[2]))
+            ids.append(t)
+            names = decode_cache.get(t)
+            if names is None:
+                names = decode_cache[t] = vocab.decode_triple(t)
+            triples.append(
+                {"subject": names[0], "predicate": names[1],
+                 "object": names[2], "count": int(c)}
+            )
+        graphs.append({"triples": triples, "image_id": int(image_ids[b])})
+        id_triples.append(ids)
+    return graphs, id_triples
+
+
 def assemble_scene_graph(
     tokens: np.ndarray, vocab: Vocab, image_id: int | None = None
 ) -> dict:
@@ -54,12 +152,18 @@ def assemble_scene_graph(
     ``tokens``: int[K, 3]. Returns a JSON-ready dict with triples ordered by
     sample frequency (the confidence proxy used for recall@k ranking).
     """
-    counts = Counter(tuple(int(x) for x in row) for row in tokens)
+    # np.unique is C-speed; a Python Counter over K tuples per image was a
+    # measurable share of generate wall-clock on this 1-core host.
+    uniq, counts = np.unique(np.asarray(tokens).reshape(-1, 3), axis=0,
+                             return_counts=True)
+    order = np.argsort(-counts, kind="stable")
     triples = []
-    for (s, p, o), c in counts.most_common():
+    for i in order:
+        s, p, o = (int(x) for x in uniq[i])
         subj, pred, obj = vocab.decode_triple((s, p, o))
         triples.append(
-            {"subject": subj, "predicate": pred, "object": obj, "count": c}
+            {"subject": subj, "predicate": pred, "object": obj,
+             "count": int(counts[i])}
         )
     out = {"triples": triples}
     if image_id is not None:
