@@ -15,11 +15,81 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
+from jax.tree_util import tree_flatten_with_path, tree_unflatten
 
 from sgg.config import Config
 from sgg.data.vocab import Vocab
 from sgg.train.state import GANTrainState
+
+
+def _flatten_raw(tree, prefix=()):
+    """Flatten a raw orbax restore (nested dicts/lists) to {path: leaf}."""
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _flatten_raw(v, prefix + (str(k),))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _flatten_raw(v, prefix + (str(i),))
+    elif tree is not None:
+        yield prefix, tree
+
+
+def _path_tokens(path) -> tuple[str, ...]:
+    """Normalize a jax key path to the string tokens raw orbax trees use."""
+    out = []
+    for e in path:
+        if isinstance(e, jax.tree_util.GetAttrKey):
+            out.append(e.name)
+        elif isinstance(e, jax.tree_util.DictKey):
+            out.append(str(e.key))
+        elif isinstance(e, jax.tree_util.SequenceKey):
+            out.append(str(e.idx))
+        elif isinstance(e, jax.tree_util.FlattenedIndexKey):
+            out.append(str(e.key))
+        else:  # pragma: no cover - future key types
+            out.append(str(e))
+    return tuple(out)
+
+
+def merge_checkpoint(raw, init_state, *, verbose: bool = True):
+    """Graft a raw checkpoint tree onto ``init_state`` field by field.
+
+    The compatibility contract (NOTES.md round-1 #7): leaves present in both
+    trees with matching shapes restore (dtype is cast if it drifted); leaves
+    only in ``init_state`` (fields added since the checkpoint was written)
+    keep their initialized values; leaves only in the checkpoint (fields
+    since removed) are ignored. Shape mismatches keep the initialized value.
+    Returns (merged_state, report dict).
+    """
+    raw_map = dict(_flatten_raw(raw))
+    leaves, treedef = tree_flatten_with_path(init_state)
+    out, report = [], {"restored": 0, "kept": [], "ignored": []}
+    for path, leaf in leaves:
+        key = _path_tokens(path)
+        val = raw_map.pop(key, None)
+        if (
+            val is not None
+            and hasattr(leaf, "shape")
+            and getattr(val, "shape", None) == leaf.shape
+        ):
+            out.append(jnp.asarray(val, leaf.dtype))
+            report["restored"] += 1
+        else:
+            out.append(leaf)
+            report["kept"].append("/".join(key))
+    report["ignored"] = ["/".join(k) for k in raw_map]
+    if verbose and (report["kept"] or report["ignored"]):
+        import sys
+
+        print(
+            f"[sgg.checkpoint] lenient restore: {report['restored']} leaves "
+            f"restored; kept initialized: {report['kept'] or '—'}; "
+            f"ignored from checkpoint: {report['ignored'] or '—'}",
+            file=sys.stderr,
+        )
+    return tree_unflatten(treedef, out), report
 
 
 class CheckpointManager:
@@ -51,9 +121,13 @@ class CheckpointManager:
         """Restore latest checkpoint into the structure of ``abstract_state``.
 
         With ``lenient`` (default), structure drift between the checkpoint
-        and the current TrainState (e.g. fields added in newer versions)
-        falls back to a partial restore: matching subtrees load, new fields
-        keep their initialized values, and a warning is printed.
+        and the current TrainState falls back to a field-by-field partial
+        restore via ``merge_checkpoint``: leaves present in both trees with
+        matching shapes load, fields added since the checkpoint was written
+        keep their initialized values, fields since removed are ignored,
+        and a warning lists both. ``abstract_state`` must then hold concrete
+        initialized arrays (it does at every call site), since kept leaves
+        pass through to the result.
         """
         step = self._mgr.latest_step()
         if step is None:
@@ -68,20 +142,13 @@ class CheckpointManager:
 
             print(
                 f"[sgg.checkpoint] strict restore failed "
-                f"({type(strict_err).__name__}); retrying with optional "
-                "fields dropped — they keep their initialized values",
+                f"({type(strict_err).__name__}); falling back to lenient "
+                "field-by-field restore",
                 file=sys.stderr,
             )
-            # Known drift class: optional TrainState fields (enc_params)
-            # added after the checkpoint was written — the checkpoint holds
-            # None where the new state holds a subtree. Restore the old
-            # structure, then graft the initialized values back.
-            legacy = abstract_state.replace(enc_params=None)
-            target = jax.tree.map(ocp.utils.to_shape_dtype_struct, legacy)
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(target)
-            )
-            return restored.replace(enc_params=abstract_state.enc_params)
+            raw = self._mgr.restore(step)
+            merged, _ = merge_checkpoint(raw, abstract_state)
+            return merged
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

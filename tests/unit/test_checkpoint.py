@@ -62,3 +62,82 @@ def test_lenient_restore_across_structure_drift(tmp_path):
     # strict mode still raises
     with pytest.raises(Exception):
         CheckpointManager(str(tmp_path), new).restore(st2, lenient=False)
+
+
+def test_lenient_restore_ignores_removed_fields(tmp_path):
+    """A checkpoint with fields the current state no longer has (here:
+    enc_params written by an end-to-end config) restores into a state
+    without them — the extra leaves are ignored, everything else loads."""
+    old = _cfg(encoder="vgg19")
+    st = create_train_state(old, jax.random.key(0)).replace(step=jnp.int32(5))
+    ck = CheckpointManager(str(tmp_path), old)
+    ck.save(st)
+    ck.wait()
+
+    new = _cfg()  # precomputed: enc_params is None
+    st2 = create_train_state(new, jax.random.key(1))
+    restored = CheckpointManager(str(tmp_path), new).restore(st2)
+    assert int(restored.step) == 5
+    assert restored.enc_params is None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored.d_params)[0]),
+        np.asarray(jax.tree.leaves(st.d_params)[0]),
+    )
+
+
+def test_lenient_restore_keeps_init_on_shape_mismatch(tmp_path):
+    """Vocab growth: resized leaves keep their initialized values, while
+    every same-shape leaf still restores from the checkpoint."""
+    from sgg.train.checkpoint import merge_checkpoint
+
+    old = _cfg()
+    st = create_train_state(old, jax.random.key(0)).replace(step=jnp.int32(9))
+    ck = CheckpointManager(str(tmp_path), old)
+    ck.save(st)
+    ck.wait()
+
+    new = _cfg()
+    new.model.vocab_size = 40  # grew from 26
+    st2 = create_train_state(new, jax.random.key(1))
+    restored = CheckpointManager(str(tmp_path), new).restore(st2)
+    assert int(restored.step) == 9
+    # vocab-shaped leaves kept the fresh init
+    np.testing.assert_array_equal(
+        np.asarray(restored.g_params["token_embedding"]),
+        np.asarray(st2.g_params["token_embedding"]),
+    )
+    # non-vocab leaves restored from the checkpoint
+    np.testing.assert_array_equal(
+        np.asarray(restored.g_params["init_c"]["kernel"]),
+        np.asarray(st.g_params["init_c"]["kernel"]),
+    )
+    # the merge report is explicit about what happened
+    raw = ck._mgr.restore(ck.latest_step())
+    _, report = merge_checkpoint(raw, st2, verbose=False)
+    assert report["restored"] > 0 and report["kept"]
+
+
+def test_pinned_format_fixture_restores():
+    """The committed ckpt_v1 fixture (tests/fixtures/) must keep restoring:
+    it pins the on-disk format so GANTrainState evolution cannot silently
+    orphan existing checkpoints."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "fixtures"))
+    from make_ckpt_fixture import FIXTURE_DIR, fixture_config
+
+    cfg = fixture_config()
+    st = create_train_state(cfg, jax.random.key(1))
+    restored = CheckpointManager(FIXTURE_DIR, cfg).restore(st)
+    assert restored is not None
+    assert int(restored.step) == 11
+    # written with seed 42: restored params must differ from the seed-1 init
+    a = np.asarray(jax.tree.leaves(restored.g_params)[0])
+    b = np.asarray(jax.tree.leaves(st.g_params)[0])
+    assert not np.array_equal(a, b)
+    # all optimizer moments came back too (finite, right structure)
+    assert all(
+        np.isfinite(np.asarray(x)).all()
+        for x in jax.tree.leaves(restored.g_opt_state)
+    )
