@@ -70,20 +70,82 @@ DEFAULT_GENERATOR_MAPPING: dict[tuple[str, ...], tuple[str, Callable]] = {
 }
 
 
+# Discriminator/critic mapping (sgg.models.discriminator.TripleCritic).
+# Same caveat as the generator mapping: names are the *expected* TF1 layout
+# ([R] — re-verify against the real checkpoint when the reference appears).
+DEFAULT_DISCRIMINATOR_MAPPING: dict[tuple[str, ...], tuple[str, Callable]] = {
+    ("token_embedding",): (r"(discriminator|critic)/embedding(/weights|/w)?$", _ID),
+    ("query_proj", "kernel"): (
+        r"(discriminator|critic)/(query|q)_proj/(weights|kernel)$", _ID,
+    ),
+    ("query_proj", "bias"): (
+        r"(discriminator|critic)/(query|q)_proj/(biases|bias)$", _ID,
+    ),
+    ("key_proj", "kernel"): (
+        r"(discriminator|critic)/(key|k)_proj/(weights|kernel)$", _ID,
+    ),
+    ("score", "kernel"): (
+        r"(discriminator|critic)/(score|v)/(weights|kernel)$", _ID,
+    ),
+    ("trunk_0", "kernel"): (
+        r"(discriminator|critic)/(trunk|fc|dense)_?0/(weights|kernel)$", _ID,
+    ),
+    ("trunk_0", "bias"): (
+        r"(discriminator|critic)/(trunk|fc|dense)_?0/(biases|bias)$", _ID,
+    ),
+    ("trunk_1", "kernel"): (
+        r"(discriminator|critic)/(trunk|fc|dense)_?1/(weights|kernel)$", _ID,
+    ),
+    ("trunk_1", "bias"): (
+        r"(discriminator|critic)/(trunk|fc|dense)_?1/(biases|bias)$", _ID,
+    ),
+    ("trunk_2", "kernel"): (
+        r"(discriminator|critic)/(trunk|fc|dense)_?2/(weights|kernel)$", _ID,
+    ),
+    ("trunk_2", "bias"): (
+        r"(discriminator|critic)/(trunk|fc|dense)_?2/(biases|bias)$", _ID,
+    ),
+    ("ln_0", "scale"): (r"(discriminator|critic)/ln_?0(/LayerNorm)?/(gamma|scale)$", _ID),
+    ("ln_0", "bias"): (r"(discriminator|critic)/ln_?0(/LayerNorm)?/(beta|bias)$", _ID),
+    ("ln_1", "scale"): (r"(discriminator|critic)/ln_?1(/LayerNorm)?/(gamma|scale)$", _ID),
+    ("ln_1", "bias"): (r"(discriminator|critic)/ln_?1(/LayerNorm)?/(beta|bias)$", _ID),
+    ("ln_2", "scale"): (r"(discriminator|critic)/ln_?2(/LayerNorm)?/(gamma|scale)$", _ID),
+    ("ln_2", "bias"): (r"(discriminator|critic)/ln_?2(/LayerNorm)?/(beta|bias)$", _ID),
+    ("head", "kernel"): (
+        r"(discriminator|critic)/(head|out(put)?)/(weights|kernel)$", _ID,
+    ),
+    ("head", "bias"): (
+        r"(discriminator|critic)/(head|out(put)?)/(biases|bias)$", _ID,
+    ),
+}
+
+# A real TF1 Saver checkpoint holds generator AND discriminator variables in
+# one flat namespace; the generator patterns' optional prefix would otherwise
+# also match e.g. "discriminator/embedding".
+GENERATOR_EXCLUDE = r"discriminator|critic|vgg"
+DISCRIMINATOR_EXCLUDE = r"generator|vgg"
+
+
 def convert_from_arrays(
     tf_vars: dict[str, np.ndarray],
     target_params: dict,
     mapping: dict[tuple[str, ...], tuple[str, Callable]] | None = None,
     strict: bool = True,
+    exclude: str | None = None,
 ) -> tuple[dict, list[str]]:
     """Place reference arrays into a copy of ``target_params``.
 
     ``target_params``: the (possibly nested) param dict from ``module.init``
-    — shapes are validated against it. Returns (params, unmatched_paths).
+    — shapes are validated against it. ``exclude``: regex of reference names
+    to ignore (scopes the search when one checkpoint holds several nets).
+    Returns (params, unmatched_paths).
     """
     import jax
 
     mapping = mapping or DEFAULT_GENERATOR_MAPPING
+    if exclude is not None:
+        ex = re.compile(exclude)
+        tf_vars = {n: v for n, v in tf_vars.items() if not ex.search(n)}
     # Build a mutable nested copy to place reference arrays into.
     params = jax.tree.map(np.asarray, target_params)
 
@@ -136,3 +198,39 @@ def convert_tf_checkpoint(
     return convert_from_arrays(
         read_tf_checkpoint(ckpt_path), target_params, mapping, strict
     )
+
+
+def match_report(
+    tf_vars: dict[str, np.ndarray],
+    targets: dict[str, tuple[dict, dict, str | None]],
+) -> dict:
+    """Dry-run matching: which reference variable feeds which param.
+
+    ``targets``: {net_name: (param_tree, mapping, exclude_regex)}. Returns
+    {"matched": [(net/param_path, ref_name, shape)], "unmatched_params":
+    [...], "ambiguous": [...], "unused_vars": [...]} — the one-command
+    parity audit to run the day the reference mount appears (SURVEY.md §0).
+    """
+    used: set[str] = set()
+    matched, unmatched, ambiguous = [], [], []
+    for net, (param_tree, mapping, exclude) in targets.items():
+        ex = re.compile(exclude) if exclude else None
+        names = [n for n in tf_vars if ex is None or not ex.search(n)]
+        for path, (pattern, _tf) in mapping.items():
+            rx = re.compile(pattern)
+            hits = [n for n in names if rx.search(n)]
+            label = f"{net}/{'/'.join(path)}"
+            if len(hits) == 1:
+                matched.append((label, hits[0], tuple(tf_vars[hits[0]].shape)))
+                used.add(hits[0])
+            elif not hits:
+                unmatched.append(label)
+            else:
+                ambiguous.append((label, hits))
+    unused = sorted(set(tf_vars) - used)
+    return {
+        "matched": matched,
+        "unmatched_params": unmatched,
+        "ambiguous": ambiguous,
+        "unused_vars": unused,
+    }
