@@ -50,7 +50,50 @@ def bench_conv(B=32, HW=56, C=64, K=3, dtype=jnp.bfloat16):
          shape=f"{B}x{HW}x{HW}x{C}", xla_ref_tflops=round(flops / t_ref / 1e12, 3))
 
 
+def bench_conv_direct(dtype=jnp.bfloat16):
+    """Direct (patches-in-VMEM) Pallas conv vs XLA at the VGG conv3/4/5
+    shapes — records the measured routing verdict: XLA's conv emitter is at
+    ~96% MFU here, so 'auto' routes to it (conv_direct.py docstring)."""
+    r = np.random.RandomState(0)
+    for (B, H, W, C) in [(32, 56, 56, 256), (32, 28, 28, 512), (32, 14, 14, 512)]:
+        K = 3
+        x = jnp.asarray(r.randn(B, H, W, C) * 0.5, dtype)
+        w = jnp.asarray(r.randn(K, K, C, C) * 0.02, dtype)
+        bias = jnp.asarray(r.randn(C), jnp.float32)
+        flops = 2 * B * H * W * K * K * C * C
+        t_d = time_marginal_scan(
+            lambda c: conv2d_fused(c, w, bias=bias, relu=True, impl="direct"),
+            x, n1=20, n2=120,
+        )
+        t_ref = time_marginal_scan(
+            lambda c: conv2d_reference(c, w, bias=bias, relu=True), x,
+            n1=20, n2=120,
+        )
+        emit("direct_conv_relu_tflops", flops / t_d / 1e12, "TFLOP/s",
+             shape=f"{B}x{H}x{W}x{C}",
+             xla_ref_tflops=round(flops / t_ref / 1e12, 3),
+             auto_routes_to="xla")
+
+
+def bench_matmul(dtype=jnp.bfloat16):
+    from sgg.kernels.matmul import fused_matmul
+
+    r = np.random.RandomState(0)
+    for (M, K) in [(114688, 768), (8192, 2048)]:
+        a = jnp.asarray(r.randn(M, K) * 0.1, dtype)
+        b = jnp.asarray(r.randn(K, K) * 0.05, dtype)
+        flops = 2 * M * K * K
+        t_p = time_marginal_scan(
+            lambda c: fused_matmul(c, b, relu=False), a, n1=10, n2=60
+        )
+        t_x = time_marginal_scan(lambda c: c @ b, a, n1=10, n2=60)
+        emit("fused_matmul_tflops", flops / t_p / 1e12, "TFLOP/s",
+             shape=f"{M}x{K}x{K}", xla_ref_tflops=round(flops / t_x / 1e12, 3))
+
+
 if __name__ == "__main__":
     print(f"# backend={jax.default_backend()}", file=sys.stderr)
     bench_flash()
     bench_conv()
+    bench_conv_direct()
+    bench_matmul()

@@ -34,7 +34,13 @@ class ModelConfig:
     num_layers: int = 4
     mlp_ratio: int = 4
     compute_dtype: str = "float32"  # bfloat16 on TPU
-    use_pallas: bool = False  # route hot ops through Pallas kernels
+    # Route hot ops through Pallas kernels WHERE MEASURED FASTEST: ViT
+    # attention uses the flash kernel (6.8–9.2× over unfused XLA). Convs
+    # keep XLA even when True — its emitter measures ~96% MFU at VGG/ResNet
+    # shapes vs 0.8× for the best Pallas direct conv (sgg/kernels/
+    # conv_direct.py has the measured table); pass impl='direct'/'pallas'
+    # to conv2d_fused explicitly to override.
+    use_pallas: bool = False
     # Sequence-parallel mode for the ViT patch axis: '' | 'ring' | 'ulysses'.
     # Requires a mesh; the patch sequence shards over the 'model' axis.
     sp_mode: str = ""

@@ -49,20 +49,30 @@ def conv2d_fused(
 ) -> jnp.ndarray:
     """relu(scale · conv(x, w) + bias), epilogue fused with the conv.
 
-    ``impl``: 'pallas' (im2col + Mosaic fused matmul), 'xla' (lax.conv; XLA
-    fuses the epilogue into the conv), or 'auto' (derived from ``use_pallas``
-    when None). Measured on v5e bf16: XLA's conv runs at roofline
-    (143–191 TFLOP/s at 512-channel shapes) while the im2col formulation is
-    bound by patch materialization bandwidth (~35 TFLOP/s), so 'auto'
-    CURRENTLY routes to 'xla' — the Mosaic kernel stays available and
-    parity-tested for shapes/backends where the trade flips, and a
-    direct-conv Pallas kernel (patches formed in VMEM) is the future path to
-    beating XLA here.
+    ``impl``: 'direct' (Pallas direct conv, patches assembled in VMEM —
+    stride-1 SAME only), 'pallas' (im2col + Mosaic fused matmul), 'xla'
+    (lax.conv; XLA fuses the epilogue into the conv), or 'auto' (derived
+    from ``use_pallas`` when None). Measured on v5e bf16 at the VGG
+    conv3/4/5 shapes: XLA conv ~175–190 TFLOP/s (≈96% MFU — these shapes
+    are compute-bound), direct Pallas 131–153, im2col Pallas ~35 (patch
+    materialization bandwidth). 'auto' therefore routes to 'xla': the XLA
+    emitter is at roofline and the direct kernel's measured ceiling is
+    ~0.8× it (width-alignment padding; full analysis in conv_direct.py).
+    Both Mosaic kernels stay parity-tested for backends/shapes where the
+    trade flips.
     """
     if impl is None:
         impl = "auto" if use_pallas else "xla"
     if impl == "auto":
         impl = "xla"
+    if impl == "direct":
+        kh_, kw_ = w.shape[0], w.shape[1]
+        if stride != 1 or padding != "SAME" or kh_ % 2 == 0 or kw_ % 2 == 0:
+            impl = "xla"  # outside the direct kernel's scope
+        else:
+            from sgg.kernels.conv_direct import conv2d_direct
+
+            return conv2d_direct(x, w, bias=bias, scale=scale, relu=relu)
     if impl == "xla":
         return conv2d_reference(
             x, w, bias=bias, scale=scale, stride=stride, padding=padding, relu=relu

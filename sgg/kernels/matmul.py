@@ -10,7 +10,16 @@ Design (pallas_guide.md):
   - grid (M/TM, N/TN, K/TK) with K innermost; f32 VMEM accumulator scratch;
   - 128-aligned tiles feeding the 128×128 MXU; inputs upcast-free (bf16 ok,
     accumulation always f32 via preferred_element_type);
-  - epilogue applied once per (i,j) tile on the last K step.
+  - epilogue applied once per (i,j) tile on the last K step;
+  - 512×1024 output tiles: every grid step streams one a-block and one
+    b-block from HBM, so the arithmetic-intensity cap is
+    2·TM·TN/(TM+TN)/itemsize flops/byte — 341 flops/B at 512×1024 bf16,
+    ~273 TFLOP/s against ~800 GB/s HBM. The original 256² tiles capped at
+    ~102 TFLOP/s and measured exactly that (47–111 across shapes); this
+    retune measures 107 TFLOP/s at [114688,768,768] (= the XLA dot) and
+    200 at [8192,2048,2048] (tile sweep: 512×512 gave 85/145, 1024×1024
+    regressed or failed compile). Tiles are also padding-aware — N=768
+    takes tn=768 over tn=512's 1024-pad.
 """
 
 from __future__ import annotations
@@ -59,9 +68,9 @@ def fused_matmul(
     bias: jnp.ndarray | None = None,  # [N]
     scale: jnp.ndarray | None = None,  # [N] (folded BN gamma/sqrt(var))
     relu: bool = False,
-    block_m: int = 256,
-    block_n: int = 256,
-    block_k: int = 512,
+    block_m: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1024,
     out_dtype=None,
 ) -> jnp.ndarray:
     """relu(scale * (a @ b) + bias) in one Pallas kernel. Returns [M, N]."""
@@ -73,10 +82,20 @@ def fused_matmul(
     bias = jnp.zeros((N,), jnp.float32) if bias is None else bias.astype(jnp.float32)
     scale = jnp.ones((N,), jnp.float32) if scale is None else scale.astype(jnp.float32)
 
-    # Pad to tile multiples (static shapes; XLA folds the pads).
-    tm, tn, tk = (min(block_m, _round_up(M, 8)),
-                  min(block_n, _round_up(N, 128)),
-                  min(block_k, _round_up(K, 128)))
+    # Pad to tile multiples (static shapes; XLA folds the pads). The N tile
+    # is chosen padding-aware: e.g. N=768 takes tn=384 (zero pad) over
+    # tn=512 (25% wasted MXU work on the 1024-pad).
+    def pick_tile(dim, cap, unit):
+        best, best_cost = unit, None
+        for t in range(unit, cap + 1, unit):
+            cost = (_round_up(dim, t) / max(dim, 1), -t)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = t, cost
+        return min(best, _round_up(dim, unit))
+
+    tm = pick_tile(M, block_m, 8)
+    tn = pick_tile(N, block_n, 128)
+    tk = min(block_k, _round_up(K, 128))
     Mp, Np, Kp = _round_up(M, tm), _round_up(N, tn), _round_up(K, tk)
     a_p = jnp.pad(a, ((0, Mp - M), (0, Kp - K)))
     b_p = jnp.pad(b, ((0, Kp - K), (0, Np - N)))

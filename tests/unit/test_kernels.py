@@ -134,6 +134,50 @@ def test_flash_backward_kernels_match_reference(b, h, s, d):
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_r), rtol=1e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize(
+    "shape,cout,kern,dtype,fold",
+    [
+        ((2, 14, 14, 512), 512, 3, jnp.bfloat16, False),
+        ((3, 8, 8, 64), 128, 3, jnp.float32, False),
+        ((1, 28, 28, 128), 256, 3, jnp.bfloat16, True),
+        ((2, 7, 7, 96), 64, 5, jnp.float32, False),
+        ((5, 13, 9, 40), 70, 3, jnp.float32, True),
+    ],
+)
+def test_conv2d_direct_parity(shape, cout, kern, dtype, fold):
+    """Direct (patches-in-VMEM) kernel vs lax reference, both kh-fold modes,
+    across unaligned B/H/W/C, both dtypes, and a 5x5 kernel."""
+    from sgg.kernels.conv_direct import conv2d_direct
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(*shape) * 0.5, dtype)
+    w = jnp.asarray(r.randn(kern, kern, shape[-1], cout) * 0.05, dtype)
+    bias = jnp.asarray(r.randn(cout), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * r.randn(cout), jnp.float32)
+    got = conv2d_direct(x, w, bias=bias, scale=scale, relu=True, fold_kh=fold)
+    want = conv2d_reference(x, w, bias=bias, scale=scale, relu=True)
+    assert got.shape == want.shape
+    g = np.asarray(got, np.float32)
+    t = np.asarray(want, np.float32)
+    tol = 3e-3 * max(1e-6, np.abs(t).max()) if dtype == jnp.bfloat16 else 1e-4
+    np.testing.assert_allclose(g, t, rtol=0, atol=tol)
+
+
+def test_conv_direct_impl_dispatch():
+    """impl='direct' routes stride-1 SAME through the direct kernel and
+    falls back to XLA outside its scope (strided)."""
+    r = np.random.RandomState(5)
+    x = jnp.asarray(r.randn(2, 12, 12, 16), jnp.float32)
+    w = jnp.asarray(r.randn(3, 3, 16, 32) * 0.1, jnp.float32)
+    bias = jnp.asarray(r.randn(32), jnp.float32)
+    got = conv2d_fused(x, w, bias=bias, relu=True, impl="direct")
+    want = conv2d_reference(x, w, bias=bias, relu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    got2 = conv2d_fused(x, w, bias=bias, stride=2, relu=True, impl="direct")
+    want2 = conv2d_reference(x, w, bias=bias, stride=2, relu=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=1e-4, atol=1e-4)
+
+
 def test_conv_auto_routing_matches_pallas():
     """'auto' (currently the XLA path) and the forced Mosaic path agree."""
     r = np.random.RandomState(3)
