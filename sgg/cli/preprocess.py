@@ -125,42 +125,62 @@ def main(argv=None) -> int:
         flush=True,
     )
 
-    if args.encoder == "random":
-        rng = np.random.RandomState(args.seed)
-        feats = rng.randn(len(ids), args.regions, args.feat_dim).astype(np.float32)
-    else:
-        if not args.image_dir:
-            print(
-                "[sgg.preprocess] --encoder vgg19 requires --image-dir "
-                "(use --encoder random for a pipeline smoke)",
-                file=sys.stderr,
-            )
-            return 1
-        from sgg.data.extract import extract_vgg_features
-
-        feats = extract_vgg_features(
-            image_ids=ids, image_dir=args.image_dir,
-            weights_path=args.vgg_weights, batch_size=args.batch_size,
-        )
-
     train_ids, test_ids = train_test_split(ids, args.test_fraction, args.seed)
     pos = {im: i for i, im in enumerate(ids)}
     tr_idx = [pos[i] for i in train_ids]
     te_idx = [pos[i] for i in test_ids]
-    n_shards = _write_split(
-        args.out_dir, train_ids, feats[tr_idx], [enc[i] for i in tr_idx],
-        args.shard_size,
-    )
-    if te_idx:
-        _write_split(
-            os.path.join(args.out_dir, "test"), test_ids, feats[te_idx],
-            [enc[i] for i in te_idx], args.shard_size,
+
+    if args.encoder == "random":
+        rng = np.random.RandomState(args.seed)
+        feats = rng.randn(len(ids), args.regions, args.feat_dim).astype(np.float32)
+        n_shards = _write_split(
+            args.out_dir, train_ids, feats[tr_idx], [enc[i] for i in tr_idx],
+            args.shard_size,
         )
-    print(
-        f"[sgg.preprocess] wrote {n_shards} train shard(s), "
-        f"{len(test_ids)} test images → {args.out_dir}",
-        flush=True,
-    )
+        if te_idx:
+            _write_split(
+                os.path.join(args.out_dir, "test"), test_ids, feats[te_idx],
+                [enc[i] for i in te_idx], args.shard_size,
+            )
+        print(
+            f"[sgg.preprocess] wrote {n_shards} train shard(s), "
+            f"{len(test_ids)} test images → {args.out_dir}",
+            flush=True,
+        )
+        return 0
+
+    if not args.image_dir:
+        print(
+            "[sgg.preprocess] --encoder vgg19 requires --image-dir "
+            "(use --encoder random for a pipeline smoke)",
+            file=sys.stderr,
+        )
+        return 1
+    # Real-image path STREAMS decode → encoder → shards with O(shard) host
+    # memory: the in-RAM array would be 43 GB at full VG volume.
+    from sgg.data.extract import extract_to_shards, resolve_image_paths
+
+    params = None
+    if args.vgg_weights:
+        from sgg.models.vgg import load_npy_weights
+
+        params = load_npy_weights(args.vgg_weights)
+    for split_name, split_ids, split_idx in (
+        ("train", train_ids, tr_idx),
+        ("test", test_ids, te_idx),
+    ):
+        if not split_ids:
+            continue
+        out = args.out_dir if split_name == "train" else os.path.join(
+            args.out_dir, "test"
+        )
+        paths = resolve_image_paths(split_ids, args.image_dir)
+        stats = extract_to_shards(
+            "vgg19", split_ids, paths, [enc[i] for i in split_idx], out,
+            shard_size=args.shard_size, encoder_params=params,
+            batch_size=args.batch_size,
+        )
+        print(f"[sgg.preprocess] {split_name}: {stats}", flush=True)
     return 0
 
 

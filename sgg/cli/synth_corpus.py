@@ -1,0 +1,47 @@
+"""``synth-corpus`` entry point — write a full-volume VG-shaped corpus.
+
+Benchmarking/validation utility (VERDICT round-1 item 4): generates real
+JPEGs on disk plus a VG-schema ``relationships.json`` at Visual Genome
+volume (~108k images, ~500×375), so the preprocess→shards→train→generate
+pipeline can be exercised end-to-end at full scale without the (absent)
+real dataset. Image content is correlated with the triples (colored
+rectangles keyed to token names over a natural-ish gradient background).
+
+  python -m sgg.cli.synth_corpus --out-dir /data/synthvg --num-images 108077
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from sgg.data.synthetic import write_synthetic_vg_corpus
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--num-images", type=int, default=108077,
+                   help="Visual Genome has 108,077 images")
+    p.add_argument("--max-rels", type=int, default=12)
+    p.add_argument("--vocab-objects", type=int, default=200)
+    p.add_argument("--vocab-predicates", type=int, default=60)
+    p.add_argument("--width", type=int, default=500)
+    p.add_argument("--height", type=int, default=375)
+    p.add_argument("--jpeg-quality", type=int, default=75)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    stats = write_synthetic_vg_corpus(
+        args.out_dir, args.num_images, seed=args.seed, max_rels=args.max_rels,
+        vocab_objects=args.vocab_objects,
+        vocab_predicates=args.vocab_predicates,
+        width=args.width, height=args.height, jpeg_quality=args.jpeg_quality,
+    )
+    print("[sgg.synth_corpus] " + json.dumps(stats), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,6 +112,150 @@ def extract_features(
     return np.concatenate(out, axis=0)
 
 
+def extract_to_shards(
+    encoder_name: str,
+    image_ids: Sequence[int],
+    image_paths: Sequence[str],
+    triples_per_image: Sequence[np.ndarray],
+    out_dir: str,
+    shard_size: int = 1024,
+    encoder_params=None,
+    batch_size: int = 32,
+    image_size: int = 224,
+    use_pallas: bool | None = None,
+    dtype=jnp.float32,
+    seed: int = 0,
+    log_every: int = 50,
+) -> dict:
+    """Streaming extraction: images → encoder → shards, O(shard) host memory.
+
+    The in-RAM ``extract_features`` path materializes the full [N, R, F]
+    array — 43 GB at Visual Genome volume (108k × 196 × 512 f32) — so the
+    full-scale preprocess streams instead: a host thread decodes batch i+1
+    while the device computes batch i (the relay readback is IO-wait, so
+    the single-core host overlaps decode with it), and finished shards are
+    written incrementally. Returns {"num_images", "num_shards", "images_per_sec",
+    "decode_wait_frac"} — the last one says whether the input pipeline
+    (decode) or the device is the bottleneck (SURVEY.md §3.1 HOT LOOP).
+    """
+    import queue
+    import threading
+    import time
+
+    from sgg.data.shards import shard_name, write_feature_shard
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    enc = make_encoder(encoder_name, use_pallas=use_pallas, dtype=dtype)
+    if enc is None:
+        raise ValueError("encoder 'precomputed' cannot extract features")
+    sample = jnp.zeros((1, image_size, image_size, 3), dtype)
+    if encoder_params is None:
+        encoder_params = enc.init(jax.random.key(seed), sample)
+
+    @jax.jit
+    def apply(params, images_u8):
+        x = normalize_for(encoder_name, images_u8)
+        return enc.apply(params, x).astype(jnp.float32)
+
+    n = len(image_paths)
+    os.makedirs(out_dir, exist_ok=True)
+    n_shards = max(1, -(-n // shard_size))
+
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def decode_loop():
+        for lo in range(0, n, batch_size):
+            chunk = list(image_paths[lo : lo + batch_size])
+            imgs = load_batch(chunk, image_size)
+            if imgs.shape[0] < batch_size:  # keep the compiled shape
+                pad = np.repeat(imgs[-1:], batch_size - imgs.shape[0], axis=0)
+                imgs = np.concatenate([imgs, pad], axis=0)
+            q.put((lo, len(chunk), imgs))
+        q.put(None)
+
+    t = threading.Thread(target=decode_loop, daemon=True)
+    t.start()
+
+    buf_feats: list[np.ndarray] = []
+    buf_count = 0
+    shard_idx = 0
+    t0 = time.time()
+    decode_wait = 0.0
+    done = 0
+    pending = None  # (lo, n_valid, device_result) — one batch in flight
+
+    def flush(feats_list, start, count):
+        nonlocal shard_idx
+        feats = np.concatenate(feats_list, axis=0)[:count]
+        ids = np.asarray(image_ids[start : start + count], np.int32)
+        trs = [np.asarray(x, np.int32) for x in
+               triples_per_image[start : start + count]]
+        write_feature_shard(
+            os.path.join(out_dir, shard_name(shard_idx, n_shards)),
+            ids, feats, trs,
+        )
+        shard_idx += 1
+
+    shard_start = 0
+    finished = False
+    while not finished:
+        tw = time.time()
+        item = q.get()
+        decode_wait += time.time() - tw
+        if item is None:
+            finished = True
+            nxt = None
+        else:
+            lo, n_valid, imgs = item
+            # Dispatch the new batch BEFORE reading back the previous one:
+            # the device computes batch i+1 while the host blocks on i's
+            # relay readback.
+            nxt = (lo, n_valid, apply(encoder_params, jnp.asarray(imgs)))
+        if pending is not None:
+            _, nv_p, dev = pending
+            buf_feats.append(np.asarray(dev)[:nv_p])
+            buf_count += nv_p
+            done += nv_p
+            while buf_count >= shard_size or (finished and nxt is None and buf_count > 0):
+                take = min(shard_size, buf_count)
+                flush(buf_feats, shard_start, take)
+                rest = np.concatenate(buf_feats, axis=0)[take:]
+                buf_feats = [rest] if rest.size else []
+                buf_count -= take
+                shard_start += take
+            if log_every and (done // batch_size) % log_every == 0:
+                rate = done / max(time.time() - t0, 1e-9)
+                print(
+                    f"[extract] {done}/{n} images ({rate:.0f}/s, "
+                    f"decode-wait {100 * decode_wait / max(time.time() - t0, 1e-9):.0f}%)",
+                    flush=True,
+                )
+        pending = nxt
+    # Drain the final in-flight batch and flush the remainder.
+    if pending is not None:
+        _, nv_p, dev = pending
+        buf_feats.append(np.asarray(dev)[:nv_p])
+        buf_count += nv_p
+        done += nv_p
+    while buf_count > 0:
+        take = min(shard_size, buf_count)
+        flush(buf_feats, shard_start, take)
+        rest = np.concatenate(buf_feats, axis=0)[take:]
+        buf_feats = [rest] if rest.size else []
+        buf_count -= take
+        shard_start += take
+
+    dt = time.time() - t0
+    return {
+        "num_images": n,
+        "num_shards": shard_idx,
+        "images_per_sec": round(n / max(dt, 1e-9), 1),
+        "decode_wait_frac": round(decode_wait / max(dt, 1e-9), 3),
+        "seconds": round(dt, 1),
+    }
+
+
 def extract_vgg_features(
     image_ids: Sequence[int],
     image_dir: str,

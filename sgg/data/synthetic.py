@@ -21,21 +21,44 @@ _PREDICATES = ["on", "has", "wearing", "behind", "in front of", "near", "riding"
 
 
 def synthetic_vg_json(
-    num_images: int = 5, seed: int = 0, max_rels: int = 6
+    num_images: int = 5,
+    seed: int = 0,
+    max_rels: int = 6,
+    vocab_objects: int | None = None,
+    vocab_predicates: int | None = None,
 ) -> list[dict]:
-    """A tiny relationships.json-shaped object (schema of sgg.data.vg)."""
+    """A relationships.json-shaped object (schema of sgg.data.vg).
+
+    With ``vocab_objects``/``vocab_predicates`` set beyond the base lists,
+    synthesizes extra token names (``obj_017``…) drawn Zipf-style so the
+    frequency-cut vocab build sees a realistic long tail (full-volume corpus,
+    VERDICT round-1 item 4)."""
     rng = np.random.RandomState(seed)
+    objs = list(_OBJECTS)
+    preds = list(_PREDICATES)
+    if vocab_objects is not None and vocab_objects > len(objs):
+        objs += [f"obj_{i:03d}" for i in range(len(objs), vocab_objects)]
+    if vocab_predicates is not None and vocab_predicates > len(preds):
+        preds += [f"rel_{i:02d}" for i in range(len(preds), vocab_predicates)]
+
+    def zipf(n, size):
+        w = 1.0 / np.arange(1, n + 1)
+        return rng.choice(n, size=size, p=w / w.sum())
+
     out = []
     for i in range(num_images):
+        n_r = int(rng.randint(1, max_rels + 1))
+        ss, oo = zipf(len(objs), n_r), zipf(len(objs), n_r)
+        pp = zipf(len(preds), n_r)
         rels = []
-        for _ in range(int(rng.randint(1, max_rels + 1))):
-            s, o = rng.choice(len(_OBJECTS), size=2, replace=False)
-            p = rng.randint(len(_PREDICATES))
+        for s, p, o in zip(ss, pp, oo):
+            if s == o:
+                o = (o + 1) % len(objs)
             rels.append(
                 {
-                    "predicate": _PREDICATES[p].upper(),  # exercise normalization
-                    "subject": {"names": [_OBJECTS[s]]},
-                    "object": {"name": _OBJECTS[o]},
+                    "predicate": preds[p].upper(),  # exercise normalization
+                    "subject": {"names": [objs[s]]},
+                    "object": {"name": objs[o]},
                 }
             )
         out.append({"image_id": 1000 + i, "relationships": rels})
@@ -92,4 +115,99 @@ def synthetic_dataset(
         "features": feats.astype(dtype),
         "triples": triples,
         "vocab": vocab,
+    }
+
+
+def _token_color(token_id: int) -> tuple[int, int, int]:
+    """Deterministic bright-ish RGB per token id (hash-free, test-stable)."""
+    r = (token_id * 97 + 31) % 200 + 40
+    g = (token_id * 57 + 83) % 200 + 40
+    b = (token_id * 163 + 7) % 200 + 40
+    return int(r), int(g), int(b)
+
+
+def render_synthetic_image(
+    rels: list[dict], rng, width: int = 500, height: int = 375
+) -> "np.ndarray":
+    """uint8 [H, W, 3] scene: one colored rectangle per relationship entity,
+    colors keyed to token names so the image content correlates with the
+    triples (a conv encoder can in principle learn the mapping), plus mild
+    noise so the JPEG bytes stay VG-realistic (~20-60 KB)."""
+    img = np.full((height, width, 3), 96, dtype=np.int16)
+    # Smooth background gradient (compresses like a natural image).
+    gy = np.linspace(-30, 30, height, dtype=np.float32)[:, None]
+    gx = np.linspace(-30, 30, width, dtype=np.float32)[None, :]
+    img += (gy + gx).astype(np.int16)[:, :, None]
+    names = []
+    for rel in rels:
+        sub = rel["subject"].get("names", [rel["subject"].get("name", "")])[0]
+        obj = rel["object"].get("names", [rel["object"].get("name", "")])[0]
+        names.extend([sub, obj])
+    for name in names:
+        tid = sum(ord(c) for c in name)
+        w = int(rng.randint(width // 8, width // 3))
+        h = int(rng.randint(height // 8, height // 3))
+        x = int(rng.randint(0, width - w))
+        y = int(rng.randint(0, height - h))
+        img[y : y + h, x : x + w] = np.asarray(_token_color(tid), np.int16)
+    img = img + rng.randint(-12, 13, size=img.shape).astype(np.int16)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def write_synthetic_vg_corpus(
+    out_dir: str,
+    num_images: int,
+    seed: int = 0,
+    max_rels: int = 12,
+    vocab_objects: int | None = 200,
+    vocab_predicates: int | None = 60,
+    width: int = 500,
+    height: int = 375,
+    jpeg_quality: int = 75,
+    log_every: int = 5000,
+) -> dict:
+    """Full-volume VG-shaped corpus on disk: ``relationships.json`` +
+    ``images/<image_id>.jpg`` (VERDICT.md round-1 item 4 — exercise
+    preprocess→shards→train at real Visual Genome volume, ~108k images).
+
+    Returns ``{"num_images": N, "num_rels": R, "image_dir": ..., "json": ...}``.
+    """
+    import json
+    import os
+    import time
+
+    from PIL import Image
+
+    img_dir = os.path.join(out_dir, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    entries = synthetic_vg_json(
+        num_images, seed=seed, max_rels=max_rels,
+        vocab_objects=vocab_objects, vocab_predicates=vocab_predicates,
+    )
+    rng = np.random.RandomState(seed + 1)
+    t0 = time.time()
+    for i, entry in enumerate(entries):
+        arr = render_synthetic_image(
+            entry["relationships"], rng, width=width, height=height
+        )
+        Image.fromarray(arr).save(
+            os.path.join(img_dir, f"{entry['image_id']}.jpg"),
+            quality=jpeg_quality,
+        )
+        if log_every and (i + 1) % log_every == 0:
+            rate = (i + 1) / (time.time() - t0)
+            print(
+                f"[synthetic-corpus] {i + 1}/{num_images} images "
+                f"({rate:.0f}/s)", flush=True,
+            )
+    json_path = os.path.join(out_dir, "relationships.json")
+    with open(json_path, "w") as f:
+        json.dump(entries, f)
+    n_rels = sum(len(e["relationships"]) for e in entries)
+    return {
+        "num_images": num_images,
+        "num_rels": n_rels,
+        "image_dir": img_dir,
+        "json": json_path,
+        "seconds": round(time.time() - t0, 1),
     }

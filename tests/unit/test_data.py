@@ -151,3 +151,46 @@ def test_train_iterator_device_put_prefetch():
     b = next(it)
     assert isinstance(b["features"], jax.Array)
     assert b["features"].shape == (3, 2, 4, 8)
+
+
+def test_synthetic_corpus_and_streaming_extract(tmp_path):
+    """Full-volume pipeline in miniature: corpus writer (real JPEGs on disk,
+    VG-schema JSON) → parse/filter/vocab → STREAMING extract-to-shards
+    (O(shard) host memory; VERDICT round-1 item 4) → shard round-trip."""
+    from sgg.data.extract import extract_to_shards, resolve_image_paths
+    from sgg.data.shards import read_feature_shard
+    from sgg.data.synthetic import write_synthetic_vg_corpus
+    from sgg.data.vg import (
+        build_vocab_from_relationships,
+        filter_and_encode,
+        parse_relationships,
+    )
+
+    corpus = tmp_path / "corpus"
+    stats = write_synthetic_vg_corpus(
+        str(corpus), num_images=9, seed=1, width=64, height=48, log_every=0,
+        vocab_objects=24, vocab_predicates=10,
+    )
+    assert stats["num_images"] == 9 and stats["num_rels"] >= 9
+
+    images = parse_relationships(str(corpus / "relationships.json"))
+    vocab = build_vocab_from_relationships(images, min_count=1)
+    ids, enc = filter_and_encode(images, vocab)
+    assert len(ids) == 9
+
+    paths = resolve_image_paths(ids, str(corpus / "images"))
+    out = tmp_path / "shards"
+    # ViT-free tiny encoder path: vgg19 with random init at 64px would be
+    # heavy; use image_size=32 to keep the conv stack small on CPU.
+    res = extract_to_shards(
+        "vgg19", ids, paths, enc, str(out), shard_size=4, batch_size=2,
+        image_size=32,
+    )
+    assert res["num_images"] == 9
+    assert res["num_shards"] == 3  # 4 + 4 + 1
+    shard = read_feature_shard(str(out / "shard-00000-of-00003.npz"))
+    assert shard["features"].shape[0] == 4
+    assert np.isfinite(shard["features"]).all()
+    last = read_feature_shard(str(out / "shard-00002-of-00003.npz"))
+    assert last["features"].shape[0] == 1
+    assert list(last["image_ids"]) == [ids[-1]]
