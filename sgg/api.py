@@ -36,7 +36,10 @@ class SceneGraphGenerator:
         if cfg.model.encoder != "precomputed":
             from sgg.models.encoders import make_encoder, normalize_for
 
-            enc = make_encoder(cfg.model.encoder, dtype=cfg.model.dtype)
+            enc = make_encoder(
+                cfg.model.encoder, dtype=cfg.model.dtype,
+                image_size=cfg.data.image_size,
+            )
 
             @jax.jit
             def encode(params, images_u8):

@@ -65,7 +65,10 @@ def main(argv=None) -> int:
     if cfg.model.encoder != "precomputed":
         from sgg.models.encoders import make_encoder, normalize_for
 
-        enc = make_encoder(cfg.model.encoder, dtype=cfg.model.dtype)
+        enc = make_encoder(
+            cfg.model.encoder, dtype=cfg.model.dtype,
+            image_size=cfg.data.image_size,
+        )
 
         @jax.jit
         def encode(enc_params, images_u8):

@@ -44,6 +44,11 @@ class ModelConfig:
     # Sequence-parallel mode for the ViT patch axis: '' | 'ring' | 'ulysses'.
     # Requires a mesh; the patch sequence shards over the 'model' axis.
     sp_mode: str = ""
+    # Pipeline-parallel the ViT block stack over the 'model' mesh axis
+    # (GPipe microbatching; sgg.dist.pipeline_parallel). Mutually exclusive
+    # with sp_mode — both consume the 'model' axis. 0 = off; >0 = number of
+    # microbatches (must divide the per-step batch).
+    pp_microbatches: int = 0
 
     @property
     def dtype(self):

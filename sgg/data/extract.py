@@ -86,7 +86,10 @@ def extract_features(
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    enc = make_encoder(encoder_name, use_pallas=use_pallas, dtype=dtype)
+    enc = make_encoder(
+        encoder_name, use_pallas=use_pallas, dtype=dtype,
+        image_size=image_size,
+    )
     if enc is None:
         raise ValueError("encoder 'precomputed' cannot extract features")
 
@@ -146,7 +149,10 @@ def extract_to_shards(
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    enc = make_encoder(encoder_name, use_pallas=use_pallas, dtype=dtype)
+    enc = make_encoder(
+        encoder_name, use_pallas=use_pallas, dtype=dtype,
+        image_size=image_size,
+    )
     if enc is None:
         raise ValueError("encoder 'precomputed' cannot extract features")
     sample = jnp.zeros((1, image_size, image_size, 3), dtype)

@@ -30,11 +30,13 @@ def make_encoder(
     use_pallas: bool = False,
     dtype: jnp.dtype = jnp.float32,
     attn_fn=None,
+    image_size: int | None = None,
 ) -> nn.Module | None:
     """Returns the feature-extractor module, or None for 'precomputed'.
 
     ``attn_fn`` (ViT only): a (q,k,v)→o override — e.g. a ring/Ulysses
     sequence-parallel wrapper from ``sgg.dist.make_sp_attention``.
+    ``image_size`` (ViT only): sizes the learned pos_embed; default 224.
     """
     if name == "precomputed":
         return None
@@ -49,5 +51,9 @@ def make_encoder(
     if name == "vit_b16":
         from sgg.models.vit import ViTB16Features
 
-        return ViTB16Features(use_pallas=use_pallas, dtype=dtype, attn_fn=attn_fn)
+        patches = ((image_size or 224) // 16) ** 2
+        return ViTB16Features(
+            use_pallas=use_pallas, dtype=dtype, attn_fn=attn_fn,
+            num_patches=patches,
+        )
     raise ValueError(f"unknown encoder {name!r}")

@@ -74,7 +74,15 @@ class TransformerBlock(nn.Module):
 
 
 class ViTB16Features(nn.Module):
-    """Images [B, H, W, 3] (normalized) → patch tokens [B, (H/16)(W/16), 768]."""
+    """Images [B, H, W, 3] (normalized) → patch tokens [B, (H/16)(W/16), 768].
+
+    Setup-style so ``embed`` / ``final`` are separately applyable (via
+    ``module.apply(vars, x, method='embed')``): the pipeline-parallel path
+    (sgg.dist.pipeline_parallel.pipeline_vit_features) runs embed and final
+    normally and stages the shape-preserving block stack over the 'model'
+    mesh axis. Param names (patch_embed, pos_embed, block{i}, ln_final)
+    are identical to the original compact layout.
+    """
 
     embed_dim: int = 768
     num_heads: int = 12
@@ -85,26 +93,43 @@ class ViTB16Features(nn.Module):
     attn_fn: "Callable | None" = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    num_patches: int = 196  # (image_size / patch)² — 224px default
 
-    @nn.compact
-    def __call__(self, x):
-        x = x.astype(self.dtype)
+    def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = nn.Conv(
+        self.patch_embed = nn.Conv(
             self.embed_dim, (self.patch, self.patch),
-            strides=(self.patch, self.patch), padding="VALID",
-            name="patch_embed", **kw,
-        )(x)
-        B, Hp, Wp, E = x.shape
-        x = x.reshape(B, Hp * Wp, E)
-        pos = self.param(
-            "pos_embed", nn.initializers.normal(0.02), (1, Hp * Wp, E),
-            self.param_dtype,
+            strides=(self.patch, self.patch), padding="VALID", **kw,
         )
-        x = x + pos.astype(self.dtype)
-        for i in range(self.num_layers):
-            x = TransformerBlock(
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, self.num_patches, self.embed_dim), self.param_dtype,
+        )
+        self.blocks = [
+            TransformerBlock(
                 self.num_heads, self.mlp_ratio, use_pallas=self.use_pallas,
                 attn_fn=self.attn_fn, name=f"block{i}", **kw,
-            )(x)
-        return nn.LayerNorm(name="ln_final", **kw)(x)
+            )
+            for i in range(self.num_layers)
+        ]
+        self.ln_final = nn.LayerNorm(**kw)
+
+    def embed(self, x):
+        """Images → position-encoded patch tokens (pre-blocks)."""
+        x = self.patch_embed(x.astype(self.dtype))
+        B, Hp, Wp, E = x.shape
+        assert Hp * Wp == self.num_patches, (
+            f"input yields {Hp * Wp} patches; module built for "
+            f"{self.num_patches} (set num_patches=(H//patch)*(W//patch))"
+        )
+        x = x.reshape(B, Hp * Wp, E)
+        return x + self.pos_embed.astype(self.dtype)
+
+    def final(self, x):
+        return self.ln_final(x)
+
+    def __call__(self, x):
+        x = self.embed(x)
+        for blk in self.blocks:
+            x = blk(x)
+        return self.final(x)

@@ -95,7 +95,10 @@ def create_train_state(
     d_vars = critic.init(r_critic, feats, fake)
     g_params, d_params = g_vars["params"], d_vars["params"]
 
-    encoder = make_encoder(cfg.model.encoder, dtype=cfg.model.dtype)
+    encoder = make_encoder(
+        cfg.model.encoder, dtype=cfg.model.dtype,
+        image_size=cfg.data.image_size,
+    )
     if encoder is not None and enc_params is None:
         img = jnp.zeros(
             (1, cfg.data.image_size, cfg.data.image_size, 3), cfg.model.dtype

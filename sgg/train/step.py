@@ -60,7 +60,15 @@ def make_step_fn(
     # and a mesh (GSPMD path), the ViT's patch attention runs sequence-
     # parallel over the 'model' axis.
     attn_fn = None
+    pp_on = bool(cfg.model.pp_microbatches) and sp_mesh is not None and (
+        cfg.model.encoder == "vit_b16"
+    )
     if cfg.model.sp_mode and sp_mesh is not None and cfg.model.encoder == "vit_b16":
+        if pp_on:
+            raise ValueError(
+                "sp_mode and pp_microbatches both set: they are mutually "
+                "exclusive (both consume the 'model' mesh axis)"
+            )
         from sgg.dist.sequence_parallel import make_sp_attention
 
         attn_fn = make_sp_attention(
@@ -69,6 +77,7 @@ def make_step_fn(
     encoder = make_encoder(
         cfg.model.encoder, use_pallas=cfg.model.use_pallas,
         dtype=cfg.model.dtype, attn_fn=attn_fn,
+        image_size=cfg.data.image_size,
     )
 
     def critic_apply(d_params, feats, triple):
@@ -107,6 +116,24 @@ def make_step_fn(
         if encoder is None:
             data = batch["features"]
             get_feats = lambda x: x
+        elif pp_on:
+            data = batch["images"]
+            from sgg.dist.pipeline_parallel import pipeline_vit_features
+
+            batch_axis = "data" if "data" in sp_mesh.axis_names else None
+
+            def get_feats(images):
+                # ViT block stack GPipe-pipelined over the 'model' axis
+                # (SURVEY.md §2.2 PP row): removes the model-axis encoder
+                # redundancy of the GSPMD path and shards block params by
+                # stage. Embed/final run replicated.
+                x = normalize_for(cfg.model.encoder, images)
+                f = pipeline_vit_features(
+                    encoder, state.enc_params, x, sp_mesh,
+                    num_microbatches=cfg.model.pp_microbatches,
+                    batch_axis=batch_axis,
+                )
+                return jax.lax.stop_gradient(f.astype(cfg.model.dtype))
         else:
             data = batch["images"]
 

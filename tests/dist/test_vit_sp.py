@@ -14,8 +14,8 @@ def test_vit_with_ulysses_matches_default():
 
     from sgg.models import ViTB16Features
 
-    base = ViTB16Features(embed_dim=64, num_heads=4, num_layers=2)
-    sp_vit = ViTB16Features(embed_dim=64, num_heads=4, num_layers=2, attn_fn=sp)
+    base = ViTB16Features(embed_dim=64, num_heads=4, num_layers=2, num_patches=16)
+    sp_vit = ViTB16Features(embed_dim=64, num_heads=4, num_layers=2, attn_fn=sp, num_patches=16)
 
     x = jnp.asarray(np.random.RandomState(0).randn(2, 64, 64, 3), jnp.float32)
     params = base.init(jax.random.key(0), x)

@@ -53,7 +53,7 @@ def test_resnet50_shapes():
 
 
 def test_vit_b16_shapes_small():
-    model = ViTB16Features(embed_dim=64, num_heads=4, num_layers=2)
+    model = ViTB16Features(embed_dim=64, num_heads=4, num_layers=2, num_patches=16)
     x = jnp.zeros((2, 64, 64, 3))
     params = model.init(jax.random.key(0), x)
     out = model.apply(params, x)
