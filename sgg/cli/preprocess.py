@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     p.add_argument("--regions", type=int, default=196)
     p.add_argument("--feat-dim", type=int, default=512)
     p.add_argument("--batch-size", type=int, default=32, help="encoder batch")
+    p.add_argument("--feat-dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="shard feature dtype (float16 halves storage/transfer)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -179,6 +182,7 @@ def main(argv=None) -> int:
             "vgg19", split_ids, paths, [enc[i] for i in split_idx], out,
             shard_size=args.shard_size, encoder_params=params,
             batch_size=args.batch_size,
+            feat_dtype=np.dtype(args.feat_dtype),
         )
         print(f"[sgg.preprocess] {split_name}: {stats}", flush=True)
     return 0

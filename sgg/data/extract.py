@@ -127,6 +127,7 @@ def extract_to_shards(
     image_size: int = 224,
     use_pallas: bool | None = None,
     dtype=jnp.float32,
+    feat_dtype=jnp.float32,
     seed: int = 0,
     log_every: int = 50,
 ) -> dict:
@@ -161,8 +162,10 @@ def extract_to_shards(
 
     @jax.jit
     def apply(params, images_u8):
+        # feat_dtype=float16 halves shard storage AND device->host transfer
+        # - the extraction bottleneck on relay-attached hosts.
         x = normalize_for(encoder_name, images_u8)
-        return enc.apply(params, x).astype(jnp.float32)
+        return enc.apply(params, x).astype(feat_dtype)
 
     n = len(image_paths)
     os.makedirs(out_dir, exist_ok=True)
