@@ -31,7 +31,8 @@ REGIONS, FEAT_DIM, VOCAB = 196, 512, 1024
 BATCH, N_CRITIC = 32, 5
 
 
-def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BATCH):
+def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BATCH,
+            vocab: int = VOCAB):
     """Marginal sec/fused-step via an in-jit scan over the step body.
 
     The TPU here sits behind a relay with ~30ms fixed dispatch+readback
@@ -54,7 +55,7 @@ def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BAT
     from sgg.train.step import make_step_fn
 
     cfg = get_config("vg1k")
-    cfg.model.vocab_size = VOCAB
+    cfg.model.vocab_size = vocab
     cfg.data.regions, cfg.data.feat_dim = REGIONS, FEAT_DIM
     cfg.train.batch_size, cfg.train.n_critic = batch_size, N_CRITIC
     if jax.default_backend() != "cpu":
@@ -67,7 +68,7 @@ def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BAT
             r.randn(n_sub, batch_size, REGIONS, FEAT_DIM), cfg.model.dtype
         ),
         "triples": jnp.asarray(
-            r.randint(2, VOCAB, (n_sub, batch_size, 3)), jnp.int32
+            r.randint(2, vocab, (n_sub, batch_size, 3)), jnp.int32
         ),
     }
     state = create_train_state(cfg, jax.random.key(0))
@@ -164,6 +165,8 @@ def main(argv=None) -> int:
                    help="short scan length (marginal timing lower point)")
     p.add_argument("--batch", type=int, default=BATCH,
                    help="per-chip batch size (baseline config uses 32)")
+    p.add_argument("--vocab", type=int, default=VOCAB,
+                   help="vocab size (8192 = resnet50-config shapes)")
     p.add_argument("--cpu-baseline", action="store_true",
                    help="measure the CPU denominator and write the cache file")
     p.add_argument("--refresh-baseline", action="store_true")
@@ -179,7 +182,7 @@ def main(argv=None) -> int:
 
     ips, sec, tflops, mfu = measure(
         steps=args.steps, warmup=args.warmup, platform=None,
-        batch_size=args.batch,
+        batch_size=args.batch, vocab=args.vocab,
     )
     try:
         base = cpu_baseline(refresh=args.refresh_baseline)

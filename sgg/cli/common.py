@@ -39,10 +39,24 @@ def add_platform_arg(p: argparse.ArgumentParser) -> None:
 
 def apply_platform(args: argparse.Namespace) -> None:
     """Must run before any JAX backend use."""
-    if getattr(args, "platform", None):
-        import jax
+    import jax
 
+    if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    # Persistent compilation cache: repeat CLI launches (train resume,
+    # generate, evaluate) skip recompiling unchanged programs. Measured
+    # caveat: hosts whose TPU compiles remotely (this machine's axon relay
+    # AOT-compiles in the terminal helper) bypass the local cache — there a
+    # cold sampler compile stays ~4 min per invocation regardless.
+    try:
+        cache_dir = os.environ.get(
+            "SGG_JAX_CACHE", os.path.expanduser("~/.cache/sgg_jax")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # cache is best-effort; older jaxlibs differ
 
 
 def resolve_config(args: argparse.Namespace) -> Config:
