@@ -33,30 +33,64 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fa_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale, s_len, tk
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s_len, tk,
+    n_kb, g=1,
 ):
     """lse_ref is None when the caller doesn't need the statistic — the
-    kernel then has a single output (keeps DCE out of correctness's way)."""
+    kernel then has a single output (keeps DCE out of correctness's way).
+
+    VPU-lean by measurement: this kernel is exp/VPU-bound, not MXU-bound —
+    at [8,12,1024,64] bf16 the D=64 and (same-flops) D=128 shapes take the
+    SAME wall time (58 vs 118 TFLOP/s), so every full [TQ,TK] elementwise
+    pass costs as much as the matmul MACs it shadows. Hence: the softmax
+    scale is folded into q by the host wrapper (saves an [S,S] multiply
+    pass per block); key-tail masking arrives as a bias lane appended to
+    q/k so the matmul itself applies it (saves iota + where passes); and
+    the single-k-block case (the norm for patch-length sequences with
+    1024-wide blocks) skips the running-max rescale of acc/l entirely.
+    This is also the measured verdict on head-packing (round-1 VERDICT #9):
+    packing two D=64 heads per 128-lane tile would only speed up matmuls
+    the kernel doesn't wait on — the XLA-level 2× penalty of K=64
+    contractions (66 vs 140 TFLOP/s) does not apply inside this kernel's
+    wall time, so the VPU passes above were the real headroom.
+    """
     kb = pl.program_id(2)
+
+    if n_kb == 1:
+        # Single k-block: plain softmax, no cross-block recurrence state.
+        # Short sequences batch g (batch·head) rows per program — at
+        # S=196 the grid is otherwise 192 programs of one tiny [256,256]
+        # attention each, and program switching dominates wall time.
+        for gi in range(g):
+            q = q_ref[gi]
+            s = jax.lax.dot_general(
+                q, k_ref[gi], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_new = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m_new)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o_ref[gi] = (
+                jax.lax.dot(p, v_ref[gi].astype(jnp.float32),
+                            preferred_element_type=jnp.float32) / l
+            ).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[gi] = m_new + jnp.log(l)
+        return
+
+    q = q_ref[0]  # (TQ, Dk), pre-scaled; Dk carries the mask bias lane
+    k = k_ref[0]  # (TK, Dk)
+    v = v_ref[0]  # (TK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (TQ, TK); padded-key columns arrive pre-masked at −1e30 via the
+    # bias lane the host wrapper appended — no iota/where pass here.
 
     @pl.when(kb == 0)
     def _():
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    q = q_ref[0]  # (TQ, D)
-    k = k_ref[0]  # (TK, D)
-    v = v_ref[0]  # (TK, D)
-    s = (
-        jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        * scale
-    )  # (TQ, TK)
-    # Mask keys beyond the true sequence length (zero-padded K/V tail).
-    col = kb * tk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < s_len, s, _NEG_INF)
 
     m_prev = m_ref[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -81,7 +115,9 @@ def _fa_kernel(
 def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
     B, H, S, D = q.shape
     BH = B * H
-    q3 = q.reshape(BH, S, D)
+    # Fold the softmax scale into q here: one [S, D] multiply instead of a
+    # full [S, S] pass per score block inside the (VPU-bound) kernel.
+    q3 = (q * jnp.asarray(scale, q.dtype)).reshape(BH, S, D)
     k3 = k.reshape(BH, S, D)
     v3 = v.reshape(BH, S, D)
 
@@ -94,30 +130,55 @@ def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
     q3 = jnp.pad(q3, ((0, 0), (0, Sq - S), (0, 0)))
     k3 = jnp.pad(k3, ((0, 0), (0, Sk - S), (0, 0)))
     v3 = jnp.pad(v3, ((0, 0), (0, Sk - S), (0, 0)))
+    if Sk != S:
+        # Key-tail masking as a BIAS LANE instead of an iota+where pass:
+        # append a ones column to q and a 0 / −1e30 column to k, so the
+        # q·kᵀ matmul itself adds −1e30 to every padded-key score. The
+        # extra MACs ride free (the kernel is VPU-bound — measured: D=64
+        # and D=128 take identical wall time), while the mask's ~3 VPU
+        # passes over [TQ, TK] disappear.
+        q3 = jnp.concatenate([q3, jnp.ones_like(q3[..., :1])], axis=-1)
+        col = jnp.arange(Sk)[None, :, None]
+        bias = jnp.where(col < S, 0.0, -1e30).astype(k3.dtype)
+        k3 = jnp.concatenate([k3, jnp.broadcast_to(bias, (BH, Sk, 1))], axis=-1)
+        dk = _round_up(D + 1, 128)
+        q3 = jnp.pad(q3, ((0, 0), (0, 0), (0, dk - D - 1)))
+        k3 = jnp.pad(k3, ((0, 0), (0, 0), (0, dk - D - 1)))
 
-    grid = (BH, Sq // tq, Sk // tk)
-    qspec = pl.BlockSpec((1, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
+    # Heads-per-program batching: only on the single-k-block path (no
+    # per-head recurrence scratch), when it divides BH, and within a VMEM
+    # budget (blocks are double-buffered; G=8 at S=1024 blows the 16 MB
+    # scoped limit — measured compile OOM at 29.4 MB).
+    G = 1
+    if Sk // tk == 1 and Sq // tq == 1:
+        Dk_ = q3.shape[-1]
+        per_head = (tq * Dk_ + tk * Dk_ + tk * D + tq * D) * q3.dtype.itemsize * 2
+        for cand in (8, 4, 2):
+            if BH % cand == 0 and cand * per_head <= 6 * 1024 * 1024:
+                G = cand
+                break
+    grid = (BH // G, Sq // tq, Sk // tk)
+    body = functools.partial(_fa_kernel, s_len=S, tk=tk, n_kb=Sk // tk, g=G)
+    Dk = q3.shape[-1]  # D, or D+1 (+pad) when the mask bias lane is present
+    ospec = pl.BlockSpec((G, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
     if return_lse:
-        kernel = functools.partial(_fa_kernel, scale=scale, s_len=S, tk=tk)
+        kernel = body
     else:
 
         def kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref):
-            _fa_kernel(
-                q_ref, k_ref, v_ref, o_ref, None, acc_ref, m_ref, l_ref,
-                scale=scale, s_len=S, tk=tk,
-            )
+            body(q_ref, k_ref, v_ref, o_ref, None, acc_ref, m_ref, l_ref)
     result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            qspec,
-            pl.BlockSpec((1, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, tq, Dk), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, tk, Dk), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, tk, D), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            qspec,
-            pl.BlockSpec((1, tq, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-        ) if return_lse else qspec,
+            ospec,
+            pl.BlockSpec((G, tq, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        ) if return_lse else ospec,
         out_shape=(
             jax.ShapeDtypeStruct((BH, Sq, D), q.dtype),
             jax.ShapeDtypeStruct((BH, Sq, 1), jnp.float32),
