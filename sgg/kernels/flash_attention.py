@@ -152,9 +152,16 @@ def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
     G = 1
     if Sk // tk == 1 and Sq // tq == 1:
         Dk_ = q3.shape[-1]
-        per_head = (tq * Dk_ + tk * Dk_ + tk * D + tq * D) * q3.dtype.itemsize * 2
+        # Per-head budget counts the double-buffered blocks AND ~2 live
+        # [tq, tk] f32 intermediates (s, p) — the compiler does not fully
+        # reuse them across the unrolled head loop (measured: G=2 at
+        # S=1024 with the lse output compiles to 20.45 MB scoped VMEM).
+        per_head = (
+            (tq * Dk_ + tk * Dk_ + tk * D + tq * D) * q3.dtype.itemsize * 2
+            + 2 * tq * tk * 4
+        )
         for cand in (8, 4, 2):
-            if BH % cand == 0 and cand * per_head <= 6 * 1024 * 1024:
+            if BH % cand == 0 and cand * per_head <= 10 * 1024 * 1024:
                 G = cand
                 break
     grid = (BH // G, Sq // tq, Sk // tk)
