@@ -26,6 +26,8 @@ def main(argv=None) -> int:
     p.add_argument("--workdir", required=True)
     p.add_argument("--k", type=int, default=50, help="recall@k cutoff")
     p.add_argument("--num-samples", type=int, default=100, help="noise draws per image")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="Gumbel sampling temperature (default: config tau_min)")
     p.add_argument("--num-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--split", default="test", choices=["train", "test"])
@@ -56,7 +58,8 @@ def main(argv=None) -> int:
     state = restored
 
     sampler = make_sampler(
-        cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples
+        cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
+        tau=args.temperature,
     )
     rng = jax.random.key(args.seed)
     from collections import Counter

@@ -33,6 +33,9 @@ def main(argv=None) -> int:
     p.add_argument("--workdir", required=True, help="training run directory")
     p.add_argument("--out", default=None, help="output JSON path (default: workdir/scene_graphs.json)")
     p.add_argument("--num-samples", type=int, default=50, help="noise draws per image")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="Gumbel sampling temperature (default: config tau_min). "
+                        "Higher = more diverse triples, lower = mode-seeking")
     p.add_argument("--num-images", type=int, default=None, help="limit images")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--recall-k", type=int, default=None, help="also report recall@k vs ground truth")
@@ -105,11 +108,13 @@ def main(argv=None) -> int:
         jax.block_until_ready(feats_dev)
         t_up = time.perf_counter() - t0
         sampler = make_indexed_sampler(
-            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples
+            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
+            tau=args.temperature,
         )
     else:
         sampler = make_sampler(
-            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples
+            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
+            tau=args.temperature,
         )
 
     # Pipeline dispatches: issue the sampler for batch i+1 before reading
