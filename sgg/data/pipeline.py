@@ -104,7 +104,17 @@ def make_device_train_iterator(
     if len(local) == 0:
         raise ValueError(f"process {process_index}/{process_count}: empty shard")
 
-    feats = jnp.asarray(dataset.features[local])  # [N, R, F] → HBM once
+    from sgg.eval.sampler import device_put_features
+
+    # [N, R, F] → HBM once. Chunked: a single multi-GB put collapses to
+    # ~4 MB/s through the relay (measured; 64 MB chunks sustain ~42 MB/s).
+    # Skip the host-side fancy-index copy when this process owns everything.
+    host_feats = (
+        dataset.features
+        if len(local) == len(dataset) and process_count == 1
+        else dataset.features[local]
+    )
+    feats = device_put_features(host_feats)
     tri_list = [dataset.triples[i] for i in local]
     T = max(t.shape[0] for t in tri_list)
     dense = np.zeros((len(local), T, 3), np.int32)
