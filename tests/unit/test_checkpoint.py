@@ -125,11 +125,19 @@ def test_pinned_format_fixture_restores():
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "fixtures"))
+    import shutil
+    import tempfile
+
     from make_ckpt_fixture import FIXTURE_DIR, fixture_config
 
     cfg = fixture_config()
     st = create_train_state(cfg, jax.random.key(1))
-    restored = CheckpointManager(FIXTURE_DIR, cfg).restore(st)
+    # Copy the fixture: CheckpointManager writes config.json into its
+    # workdir on init, and the committed fixture must stay byte-pinned.
+    with tempfile.TemporaryDirectory() as td:
+        workdir = os.path.join(td, "ckpt_v1")
+        shutil.copytree(FIXTURE_DIR, workdir)
+        restored = CheckpointManager(workdir, cfg).restore(st)
     assert restored is not None
     assert int(restored.step) == 11
     # written with seed 42: restored params must differ from the seed-1 init
