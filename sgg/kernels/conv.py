@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from sgg.kernels.matmul import fused_matmul, fused_matmul_reference
+from sgg.kernels.matmul import fused_matmul
 
 
 def _im2col(x: jnp.ndarray, kh: int, kw: int, stride: int, padding: str):

@@ -33,8 +33,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fa_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, s_len, tk,
-    n_kb, g=1,
+    q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *, n_kb, g=1,
 ):
     """lse_ref is None when the caller doesn't need the statistic — the
     kernel then has a single output (keeps DCE out of correctness's way).
@@ -165,7 +164,7 @@ def _fa_forward(q, k, v, scale, block_q, block_k, return_lse=False):
                 G = cand
                 break
     grid = (BH // G, Sq // tq, Sk // tk)
-    body = functools.partial(_fa_kernel, s_len=S, tk=tk, n_kb=Sk // tk, g=G)
+    body = functools.partial(_fa_kernel, n_kb=Sk // tk, g=G)
     Dk = q3.shape[-1]  # D, or D+1 (+pad) when the mask bias lane is present
     ospec = pl.BlockSpec((G, tq, D), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM)
     if return_lse:
