@@ -81,7 +81,7 @@ def main(argv=None) -> int:
     if args.synthetic is not None:
         data = synthetic_dataset(
             num_images=args.synthetic, regions=args.regions,
-            feat_dim=args.feat_dim, seed=args.seed,
+            feat_dim=args.feat_dim, seed=args.seed, dtype=args.feat_dtype,
         )
         vocab = data["vocab"]
         vocab.save(os.path.join(args.out_dir, "vocab.json"))
@@ -135,7 +135,7 @@ def main(argv=None) -> int:
 
     if args.encoder == "random":
         rng = np.random.RandomState(args.seed)
-        feats = rng.randn(len(ids), args.regions, args.feat_dim).astype(np.float32)
+        feats = rng.randn(len(ids), args.regions, args.feat_dim).astype(args.feat_dtype)
         n_shards = _write_split(
             args.out_dir, train_ids, feats[tr_idx], [enc[i] for i in tr_idx],
             args.shard_size,

@@ -102,7 +102,15 @@ def _conv_kernel(
     b = pl.program_id(1)
     i = pl.program_id(2)
     bi = b * nH + i
-    slot = jax.lax.rem(bi, 2)
+    # Slot parity MUST come from the GLOBAL step (j·n_bi + bi), not the
+    # per-sweep bi: the wrap prefetch at a sweep's end lands in
+    # 1−(step%2), and with odd n_bi that is only the next sweep's slot 0
+    # if the parity carries across the sweep boundary. Deriving it from
+    # bi alone deadlocks on TPU for odd n_bi with nN>1 (e.g. the
+    # [2,14,14,512]→512 parity shape: n_bi=1, nN=2) — the next sweep
+    # waits on sems[slot] that the wrap prefetch never signals.
+    step = j * n_bi + bi
+    slot = jax.lax.rem(step, 2)
 
     def dma(bi_idx, slot_idx):
         bb = bi_idx // nH
@@ -113,7 +121,7 @@ def _conv_kernel(
             sems.at[slot_idx],
         )
 
-    @pl.when((bi == 0) & (j == 0))
+    @pl.when(step == 0)
     def _():
         dma(0, 0).start()
 

@@ -83,8 +83,9 @@ def fused_matmul(
     scale = jnp.ones((N,), jnp.float32) if scale is None else scale.astype(jnp.float32)
 
     # Pad to tile multiples (static shapes; XLA folds the pads). The N tile
-    # is chosen padding-aware: e.g. N=768 takes tn=384 (zero pad) over
-    # tn=512 (25% wasted MXU work on the 1024-pad).
+    # is chosen padding-aware: largest tile at minimal padding ratio, so
+    # e.g. N=768 takes tn=768 (zero pad) over tn=512 (25% wasted MXU work
+    # on the 1024-pad).
     def pick_tile(dim, cap, unit):
         best, best_cost = unit, None
         for t in range(unit, cap + 1, unit):
