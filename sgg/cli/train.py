@@ -123,12 +123,33 @@ def main(argv=None) -> int:
     # host-prefetch path (it builds global arrays via
     # make_array_from_process_local_data).
     use_device_data = (
-        cfg.data.device_resident
+        cfg.data.loader != "grain"
+        and cfg.data.device_resident
         and jax.process_count() == 1
         and isinstance(ds, TripleDataset)
         and ds.features.nbytes <= cfg.data.device_resident_max_bytes
     )
-    if use_device_data:
+    grain_it = None
+    if cfg.data.loader == "grain":
+        # Grain loader: deterministic global shuffle + checkpointable
+        # iterator — its state rides along with every orbax save so resume
+        # continues the exact mid-epoch sample sequence.
+        from sgg.data.grain_pipeline import make_grain_iterator
+
+        it = grain_it = make_grain_iterator(
+            ds, cfg.train.batch_size, cfg.train.n_critic,
+            seed=cfg.train.seed, sharding=sharding,
+            num_workers=cfg.data.grain_workers,
+        )
+        data_state = ckpt.restore_data_state()
+        if restored is not None and data_state is not None:
+            grain_it.set_state(data_state)
+            print("[sgg.train] grain iterator state restored "
+                  "(exact mid-epoch resume)", flush=True)
+        else:
+            print(f"[sgg.train] grain loader "
+                  f"(workers={cfg.data.grain_workers})", flush=True)
+    elif use_device_data:
         it = make_device_train_iterator(
             ds, cfg.train.batch_size, cfg.train.n_critic,
             seed=cfg.train.seed, sharding=sharding,
@@ -200,7 +221,10 @@ def main(argv=None) -> int:
                     "and exiting",
                     flush=True,
                 )
-                ckpt.save(state)
+                ckpt.save(
+                    state,
+                    data_state=grain_it.get_state() if grain_it else None,
+                )
                 ckpt.close()
                 return 0
             batch = first_batch if i == start else next(it)
@@ -221,7 +245,10 @@ def main(argv=None) -> int:
                 ips_s = f" img/s/chip={ips:.1f}" if ips else ""
                 print(f"[sgg.train] step {step}: {msg}{ips_s}", flush=True)
             if step % cfg.train.checkpoint_every == 0 or step == cfg.train.total_steps:
-                ckpt.save(state)
+                ckpt.save(
+                    state,
+                    data_state=grain_it.get_state() if grain_it else None,
+                )
     finally:
         _restore_handlers()
     ckpt.close()

@@ -61,6 +61,13 @@ class DataConfig:
     feat_dim: int = 512
     image_size: int = 224
     source: str = "synthetic"  # synthetic | shards | vg
+    # Input-pipeline implementation: "custom" (default thread-prefetch /
+    # device-resident iterators) or "grain" (Google Grain: deterministic
+    # global shuffle, multiprocess decode workers, and a CHECKPOINTABLE
+    # iterator — its state persists alongside every orbax checkpoint so
+    # resume continues the exact mid-epoch sample sequence).
+    loader: str = "custom"
+    grain_workers: int = 0  # grain decode worker processes (0 = in-process)
     data_dir: str = ""
     vocab_path: str = ""
     num_synthetic_images: int = 1024

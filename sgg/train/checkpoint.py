@@ -109,8 +109,36 @@ class CheckpointManager:
     def save_vocab(self, vocab: Vocab) -> None:
         vocab.save(os.path.join(self.workdir, "vocab.json"))
 
-    def save(self, state: GANTrainState) -> None:
-        self._mgr.save(int(state.step), args=ocp.args.StandardSave(state))
+    def save(self, state: GANTrainState, data_state: bytes | None = None) -> None:
+        step = int(state.step)
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if data_state is not None:
+            # Input-iterator snapshot (grain loader): a sidecar next to the
+            # orbax step dirs, kept OUT of the orbax item tree so the model
+            # checkpoint layout (and the pinned ckpt_v1 compat fixture)
+            # stays unchanged. Pruned to the same retention window.
+            with open(self._data_state_path(step), "wb") as f:
+                f.write(data_state)
+            keep = {step} | set(self._mgr.all_steps())
+            for name in os.listdir(self.ckpt_dir):
+                if name.startswith("data_iter_") and name.endswith(".bin"):
+                    s = int(name[len("data_iter_"):-len(".bin")])
+                    if s not in keep:
+                        os.remove(os.path.join(self.ckpt_dir, name))
+
+    def _data_state_path(self, step: int) -> str:
+        return os.path.join(self.ckpt_dir, f"data_iter_{step}.bin")
+
+    def restore_data_state(self) -> bytes | None:
+        """Input-iterator snapshot saved with the latest checkpoint, if any."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        path = self._data_state_path(step)
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

@@ -102,3 +102,27 @@ def test_generate_without_checkpoint_fails_cleanly(pipedir, tmp_path):
     (wd / "vocab.json").write_text((pipedir / "run" / "vocab.json").read_text())
     rc = cli_generate.main(["--workdir", str(wd)])
     assert rc == 1
+
+
+def test_train_grain_loader_exact_resume(pipedir, capsys):
+    """data.loader=grain trains, checkpoints the iterator snapshot, and a
+    resumed run restores it (exact mid-epoch continuation; VERDICT r2 #4)."""
+    args = lambda steps: [
+        "--config", "smoke",
+        "--workdir", str(pipedir / "grainrun"),
+        "--set", "data.source=shards",
+        "--set", f"data.data_dir={pipedir / 'data'}",
+        "--set", "data.regions=9",
+        "--set", "data.feat_dim=16",
+        "--set", "data.loader=grain",
+        "--set", "train.checkpoint_every=5",
+        "--steps", str(steps),
+    ]
+    assert cli_train.main(args(5)) == 0
+    ckdir = pipedir / "grainrun" / "checkpoints"
+    assert (ckdir / "data_iter_5.bin").exists()
+    capsys.readouterr()
+    assert cli_train.main(args(8)) == 0
+    out = capsys.readouterr().out
+    assert "grain iterator state restored" in out
+    assert (ckdir / "data_iter_8.bin").exists()
