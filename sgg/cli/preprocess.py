@@ -60,6 +60,11 @@ def main(argv=None) -> int:
     p.add_argument("--image-dir", default=None, help="directory with VG JPEGs")
     p.add_argument("--encoder", default="vgg19", choices=["vgg19", "random"])
     p.add_argument("--vgg-weights", default=None, help=".npy weight dict for VGG-19")
+    p.add_argument("--encoder-ckpt", default=None,
+                   help="sgg.cli.pretrain output (dir with encoder_params.npz"
+                        " + pretrain_meta.json, or the .npz itself): extract "
+                        "features with THESE weights — the offline stand-in "
+                        "for --vgg-weights")
     p.add_argument("--max-objects", type=int, default=None)
     p.add_argument("--max-predicates", type=int, default=None)
     p.add_argument("--min-count", type=int, default=2)
@@ -164,10 +169,33 @@ def main(argv=None) -> int:
     from sgg.data.extract import extract_to_shards, resolve_image_paths
 
     params = None
+    enc_name, image_size = "vgg19", 224
     if args.vgg_weights:
         from sgg.models.vgg import load_npy_weights
 
         params = load_npy_weights(args.vgg_weights)
+    elif args.encoder_ckpt:
+        # Pretrained-on-this-corpus weights (sgg.cli.pretrain) — the offline
+        # machine's equivalent of the reference's downloaded VGG .npy.
+        from sgg.train.pretrain import load_params_npz
+
+        ckpt = args.encoder_ckpt
+        if os.path.isdir(ckpt):
+            meta_path = os.path.join(ckpt, "pretrain_meta.json")
+            if os.path.exists(meta_path):
+                import json
+
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                enc_name = meta.get("encoder", enc_name)
+                image_size = int(meta.get("image_size", image_size))
+            ckpt = os.path.join(ckpt, "encoder_params.npz")
+        params = {"params": load_params_npz(ckpt)}
+        print(
+            f"[sgg.preprocess] encoder weights ← {ckpt} "
+            f"({enc_name} @ {image_size}px)",
+            flush=True,
+        )
     for split_name, split_ids, split_idx in (
         ("train", train_ids, tr_idx),
         ("test", test_ids, te_idx),
@@ -179,9 +207,9 @@ def main(argv=None) -> int:
         )
         paths = resolve_image_paths(split_ids, args.image_dir)
         stats = extract_to_shards(
-            "vgg19", split_ids, paths, [enc[i] for i in split_idx], out,
+            enc_name, split_ids, paths, [enc[i] for i in split_idx], out,
             shard_size=args.shard_size, encoder_params=params,
-            batch_size=args.batch_size,
+            batch_size=args.batch_size, image_size=image_size,
             feat_dtype=np.dtype(args.feat_dtype),
         )
         print(f"[sgg.preprocess] {split_name}: {stats}", flush=True)

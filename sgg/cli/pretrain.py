@@ -1,0 +1,186 @@
+"""``pretrain`` entry point — supervised encoder pretraining on object labels.
+
+Stands in for the reference's DOWNLOADED ImageNet VGG-19 weights
+(SURVEY.md §2.1 #2) on machines without them: the VG relationships file
+already names every image's objects, so object presence is a free supervised
+task (sgg/train/pretrain.py rationale). Output is an ``encoder_params.npz``
+that ``sgg.cli.preprocess --encoder-ckpt`` consumes exactly like
+``--vgg-weights``.
+
+  python -m sgg.cli.pretrain --vg-dir /data/vg --image-dir /data/vg/images \
+      --out-dir /tmp/enc --steps 2000 --batch-size 64
+
+TPU path: all images decode once on the host (native JPEG tier), upload
+chunked into HBM as uint8, and every step is one compiled dispatch with an
+on-device batch gather — the same zero-host-traffic recipe as the fused GAN
+step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sgg.cli.common import add_platform_arg, apply_platform
+from sgg.data.vg import (
+    build_vocab_from_relationships,
+    filter_and_encode,
+    parse_relationships,
+    train_test_split,
+)
+from sgg.data.vocab import Vocab
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--vg-dir", required=True, help="dir with relationships.json")
+    p.add_argument("--image-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--vocab", default=None,
+                   help="existing vocab.json (e.g. from preprocess) so label "
+                        "ids match the GAN vocabulary; default: build one "
+                        "with preprocess's defaults")
+    p.add_argument("--encoder", default="vgg19",
+                   choices=["vgg19", "resnet50", "vit_b16"])
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--max-images", type=int, default=None,
+                   help="subsample the train images (decode/HBM budget)")
+    p.add_argument("--test-fraction", type=float, default=0.1)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    add_platform_arg(p)
+    args = p.parse_args(argv)
+    apply_platform(args)
+
+    rel_path = os.path.join(args.vg_dir, "relationships.json")
+    if not os.path.exists(rel_path):
+        print(f"[sgg.pretrain] missing {rel_path}", file=sys.stderr)
+        return 1
+    images = parse_relationships(rel_path)
+    if args.vocab:
+        vocab = Vocab.load(args.vocab)
+    else:
+        vocab = build_vocab_from_relationships(images)
+    ids, enc = filter_and_encode(images, vocab)
+    train_ids, test_ids = train_test_split(ids, args.test_fraction, args.seed)
+    pos = {im: i for i, im in enumerate(ids)}
+    if args.max_images is not None and len(train_ids) > args.max_images:
+        rng = np.random.RandomState(args.seed)
+        keep = rng.choice(len(train_ids), size=args.max_images, replace=False)
+        train_ids = [train_ids[i] for i in sorted(keep)]
+    # Held-out slice for the presence report (bounded decode cost).
+    test_ids = test_ids[: max(64, args.batch_size)]
+    print(
+        f"[sgg.pretrain] {len(train_ids)} train / {len(test_ids)} held-out "
+        f"images, vocab={len(vocab)}, encoder={args.encoder}",
+        flush=True,
+    )
+
+    from sgg.data.extract import load_batch, resolve_image_paths
+    from sgg.train.pretrain import (
+        evaluate_presence,
+        make_pretrain_state,
+        make_pretrain_step,
+        multi_hot_labels,
+        save_params_npz,
+    )
+
+    t0 = time.time()
+    train_paths = resolve_image_paths(train_ids, args.image_dir)
+    test_paths = resolve_image_paths(test_ids, args.image_dir)
+    imgs_host = np.empty(
+        (len(train_paths), args.image_size, args.image_size, 3), np.uint8
+    )
+    for lo in range(0, len(train_paths), 256):
+        imgs_host[lo : lo + 256] = load_batch(
+            train_paths[lo : lo + 256], args.image_size
+        )
+        if lo % 5120 == 0 and lo:
+            rate = lo / (time.time() - t0)
+            print(f"[sgg.pretrain] decoded {lo}/{len(train_paths)} "
+                  f"({rate:.0f}/s)", flush=True)
+    test_imgs = load_batch(test_paths, args.image_size)
+    labels_host = multi_hot_labels(
+        [enc[pos[i]] for i in train_ids], len(vocab)
+    )
+    test_labels = multi_hot_labels([enc[pos[i]] for i in test_ids], len(vocab))
+    print(
+        f"[sgg.pretrain] decoded {len(train_paths)} images in "
+        f"{time.time() - t0:.0f}s ({imgs_host.nbytes / 1e9:.2f} GB)",
+        flush=True,
+    )
+
+    from sgg.eval.sampler import device_put_features
+
+    images_d = device_put_features(imgs_host)
+    labels_d = device_put_features(labels_host)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model, params, opt_state, tx = make_pretrain_state(
+        args.encoder, len(vocab), image_size=args.image_size, lr=args.lr,
+        use_pallas=jax.default_backend() == "tpu", dtype=dtype,
+        seed=args.seed,
+    )
+    step_fn = make_pretrain_step(model, tx, args.batch_size, seed=args.seed)
+
+    n = len(train_paths)
+    t0 = time.time()
+    metrics = {}
+    for i in range(args.steps):
+        params, opt_state, metrics = step_fn(
+            params, opt_state, images_d, labels_d, n, i
+        )
+        if (i + 1) % args.log_every == 0 or i + 1 == args.steps:
+            loss = float(metrics["loss"])
+            rec = float(metrics["presence_recall"])
+            rate = (i + 1) * args.batch_size / (time.time() - t0)
+            print(
+                f"[sgg.pretrain] step {i + 1}: loss={loss:.4f} "
+                f"presence_recall={rec:.3f} img/s={rate:.0f}",
+                flush=True,
+            )
+
+    report = evaluate_presence(
+        model, params, test_imgs, test_labels, batch_size=args.batch_size
+    )
+    print(
+        f"[sgg.pretrain] held-out: loss={report['loss']:.4f} "
+        f"presence_recall={report['presence_recall']:.3f} "
+        f"precision@k={report['precision_at_k']:.3f}",
+        flush=True,
+    )
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    out_npz = os.path.join(args.out_dir, "encoder_params.npz")
+    save_params_npz(out_npz, jax.tree.map(np.asarray, params["encoder"]))
+    vocab.save(os.path.join(args.out_dir, "vocab.json"))
+    with open(os.path.join(args.out_dir, "pretrain_meta.json"), "w") as f:
+        json.dump(
+            {
+                "encoder": args.encoder,
+                "image_size": args.image_size,
+                "steps": args.steps,
+                "train_images": n,
+                "held_out": report,
+            },
+            f,
+            indent=2,
+        )
+    print(f"[sgg.pretrain] encoder params → {out_npz}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
