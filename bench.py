@@ -32,7 +32,7 @@ BATCH, N_CRITIC = 32, 5
 
 
 def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BATCH,
-            vocab: int = VOCAB):
+            vocab: int = VOCAB, config: str = "vg1k"):
     """Marginal sec/fused-step via an in-jit scan over the step body.
 
     The TPU here sits behind a relay with ~30ms fixed dispatch+readback
@@ -54,21 +54,41 @@ def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BAT
     from sgg.train.state import create_train_state
     from sgg.train.step import make_step_fn
 
-    cfg = get_config("vg1k")
-    cfg.model.vocab_size = vocab
-    cfg.data.regions, cfg.data.feat_dim = REGIONS, FEAT_DIM
+    cfg = get_config(config)
+    if config == "vg1k":
+        cfg.model.vocab_size = vocab
+        cfg.data.regions, cfg.data.feat_dim = REGIONS, FEAT_DIM
     cfg.train.batch_size, cfg.train.n_critic = batch_size, N_CRITIC
     if jax.default_backend() != "cpu":
         cfg.model.compute_dtype = "bfloat16"
+    else:
+        # Interpret-mode Pallas on CPU is orders slower than XLA and is not
+        # what a CPU baseline should measure.
+        cfg.model.use_pallas = False
 
     n_sub = N_CRITIC + 1
     r = np.random.RandomState(0)
+    if cfg.model.encoder == "precomputed":
+        data = {
+            "features": jnp.asarray(
+                r.randn(n_sub, batch_size, cfg.data.regions, cfg.data.feat_dim),
+                cfg.model.dtype,
+            )
+        }
+    else:
+        # End-to-end configs: uint8 images in, frozen backbone inside the
+        # fused step (VERDICT r2 weak #2 — MFU for the encoder configs).
+        S = cfg.data.image_size
+        data = {
+            "images": jnp.asarray(
+                r.randint(0, 255, (n_sub, batch_size, S, S, 3)), jnp.uint8
+            )
+        }
     batch = {
-        "features": jnp.asarray(
-            r.randn(n_sub, batch_size, REGIONS, FEAT_DIM), cfg.model.dtype
-        ),
+        **data,
         "triples": jnp.asarray(
-            r.randint(2, vocab, (n_sub, batch_size, 3)), jnp.int32
+            r.randint(2, cfg.model.vocab_size, (n_sub, batch_size, 3)),
+            jnp.int32,
         ),
     }
     state = create_train_state(cfg, jax.random.key(0))
@@ -167,6 +187,9 @@ def main(argv=None) -> int:
                    help="per-chip batch size (baseline config uses 32)")
     p.add_argument("--vocab", type=int, default=VOCAB,
                    help="vocab size (8192 = resnet50-config shapes)")
+    p.add_argument("--config", default="vg1k",
+                   help="named config to benchmark (vg1k headline; resnet50/"
+                        "vit_b16 run the end-to-end encoder step with MFU)")
     p.add_argument("--cpu-baseline", action="store_true",
                    help="measure the CPU denominator and write the cache file")
     p.add_argument("--refresh-baseline", action="store_true")
@@ -182,16 +205,20 @@ def main(argv=None) -> int:
 
     ips, sec, tflops, mfu = measure(
         steps=args.steps, warmup=args.warmup, platform=None,
-        batch_size=args.batch, vocab=args.vocab,
+        batch_size=args.batch, vocab=args.vocab, config=args.config,
     )
-    try:
-        base = cpu_baseline(refresh=args.refresh_baseline)
-        vs = ips / base if base > 0 else None
-    except Exception as e:
-        print(f"[bench] cpu baseline unavailable: {e}", file=sys.stderr)
-        vs = None
+    vs = None
+    if args.config == "vg1k":
+        try:
+            base = cpu_baseline(refresh=args.refresh_baseline)
+            vs = ips / base if base > 0 else None
+        except Exception as e:
+            print(f"[bench] cpu baseline unavailable: {e}", file=sys.stderr)
+    metric = "gan_train_images_per_sec_per_chip"
+    if args.config != "vg1k":
+        metric = f"gan_train_images_per_sec_per_chip[{args.config}]"
     out = {
-        "metric": "gan_train_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(ips, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs is not None else None,
