@@ -81,6 +81,58 @@ def bench_conv_direct(dtype=jnp.bfloat16):
              auto_routes_to="xla")
 
 
+def bench_conv_1x1(dtype=jnp.bfloat16):
+    """ResNet bottleneck 1×1 shapes (s1 reduce/expand, s2 downsample
+    projection) through the matmul route vs XLA conv (VERDICT r2 item 7)."""
+    r = np.random.RandomState(0)
+    cases = [
+        # (B, HW, Cin, Cout, stride) — ResNet-50 stage shapes
+        (32, 56, 256, 64, 1),    # bottleneck reduce
+        (32, 56, 64, 256, 1),    # bottleneck expand
+        (32, 56, 256, 512, 2),   # stage-2 downsample projection
+        (32, 28, 512, 1024, 2),  # stage-3 downsample projection
+    ]
+    for (B, HW, Cin, Cout, s) in cases:
+        x = jnp.asarray(r.randn(B, HW, HW, Cin) * 0.5, dtype)
+        w = jnp.asarray(r.randn(1, 1, Cin, Cout) * 0.05, dtype)
+        bias = jnp.asarray(r.randn(Cout), jnp.float32)
+        Ho = -(-HW // s)
+        flops = 2 * B * Ho * Ho * Cin * Cout
+        t_p = time_marginal_scan(
+            lambda c: conv2d_fused(c, w, bias=bias, stride=s, relu=True,
+                                   impl="pallas"), x, n1=20, n2=220,
+        )
+        t_x = time_marginal_scan(
+            lambda c: conv2d_reference(c, w, bias=bias, stride=s, relu=True),
+            x, n1=20, n2=220,
+        )
+        emit("conv_1x1_matmul_tflops", flops / t_p / 1e12, "TFLOP/s",
+             shape=f"{B}x{HW}x{HW}x{Cin}->{Cout}s{s}",
+             xla_ref_tflops=round(flops / t_x / 1e12, 3))
+
+
+def bench_conv_s2(dtype=jnp.bfloat16):
+    """XLA conv throughput at ResNet's strided 3×3/7×7 shapes — the measured
+    basis for keeping them on the XLA route (direct kernel is s1-only)."""
+    r = np.random.RandomState(0)
+    cases = [
+        (32, 224, 3, 64, 7, 2),    # stem
+        (32, 56, 256, 256, 3, 2),  # simplified stage transition 3×3 s2
+    ]
+    for (B, HW, Cin, Cout, K, s) in cases:
+        x = jnp.asarray(r.randn(B, HW, HW, Cin) * 0.5, dtype)
+        w = jnp.asarray(r.randn(K, K, Cin, Cout) * 0.05, dtype)
+        bias = jnp.asarray(r.randn(Cout), jnp.float32)
+        Ho = -(-HW // s)
+        flops = 2 * B * Ho * Ho * K * K * Cin * Cout
+        t_x = time_marginal_scan(
+            lambda c: conv2d_reference(c, w, bias=bias, stride=s, relu=True),
+            x, n1=20, n2=120,
+        )
+        emit("conv_s2_xla_tflops", flops / t_x / 1e12, "TFLOP/s",
+             shape=f"{B}x{HW}x{HW}x{Cin}->{Cout}k{K}s{s}")
+
+
 def bench_matmul(dtype=jnp.bfloat16):
     from sgg.kernels.matmul import fused_matmul
 
@@ -103,4 +155,6 @@ if __name__ == "__main__":
     bench_flash(B=16, S=196)  # the production ViT-B/16 patch length
     bench_conv()
     bench_conv_direct()
+    bench_conv_1x1()
+    bench_conv_s2()
     bench_matmul()

@@ -187,3 +187,22 @@ def test_conv_auto_routing_matches_pallas():
     auto = conv2d_fused(x, w, bias=bias, relu=True)  # impl derived = auto
     forced = conv2d_fused(x, w, bias=bias, relu=True, impl="pallas")
     np.testing.assert_allclose(np.asarray(auto), np.asarray(forced), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("stride,impl", [(1, "pallas"), (2, "pallas"), (2, "direct")])
+def test_conv_1x1_matmul_route(stride, impl):
+    """1x1 convs route through the fused matmul (no im2col) for any stride,
+    matching the lax reference — including ResNet's stride-2 downsample
+    projections (VERDICT r2 item 7)."""
+    r = np.random.RandomState(11)
+    x = jnp.asarray(r.randn(2, 14, 14, 64), jnp.float32)
+    w = jnp.asarray(r.randn(1, 1, 64, 96) * 0.1, jnp.float32)
+    bias = jnp.asarray(r.randn(96), jnp.float32)
+    scale = jnp.asarray(1.0 + 0.1 * r.randn(96), jnp.float32)
+    got = conv2d_fused(x, w, bias=bias, scale=scale, stride=stride,
+                       relu=True, impl=impl)
+    want = conv2d_reference(x, w, bias=bias, scale=scale, stride=stride,
+                            relu=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
