@@ -156,6 +156,31 @@ def main(argv=None) -> int:
         )
         print("[sgg.train] device-resident dataset "
               f"({ds.features.nbytes / 1e6:.0f} MB in HBM)", flush=True)
+    elif (
+        cfg.data.device_resident
+        and cfg.data.rotate_subsets
+        and jax.process_count() == 1
+        and isinstance(ds, TripleDataset)
+    ):
+        # Bigger than the HBM budget: rotate device-resident subsets —
+        # train on one while the next uploads in the background.
+        from sgg.data.pipeline import make_rotating_device_iterator
+
+        subset_bytes = cfg.data.device_resident_max_bytes // 2
+        it = make_rotating_device_iterator(
+            ds, cfg.train.batch_size, cfg.train.n_critic,
+            seed=cfg.train.seed, subset_bytes=subset_bytes,
+            min_steps_per_subset=cfg.data.rotation_min_steps,
+            sharding=sharding,
+            log=lambda m: print(m, flush=True),
+        )
+        n_subsets = -(-ds.features.nbytes // subset_bytes)
+        print(
+            f"[sgg.train] rotating device-resident subsets "
+            f"({ds.features.nbytes / 1e9:.1f} GB over {n_subsets} subsets "
+            f"of ≤{subset_bytes / 1e9:.1f} GB)",
+            flush=True,
+        )
     else:
         it = make_train_iterator(
             ds, cfg.train.batch_size, cfg.train.n_critic,

@@ -77,6 +77,12 @@ class DataConfig:
     # on-device gather (zero per-step host traffic) when it fits.
     device_resident: bool = True
     device_resident_max_bytes: int = 4_000_000_000
+    # Bigger-than-HBM feature sets: train on an HBM-resident subset while a
+    # background thread uploads the next, swapping when ready (pipeline.py
+    # make_rotating_device_iterator). Each subset gets at most
+    # device_resident_max_bytes/2 (two subsets alive across a swap).
+    rotate_subsets: bool = True
+    rotation_min_steps: int = 0  # floor on steps per subset before swapping
 
 
 @dataclass
