@@ -195,6 +195,16 @@ def main(argv=None) -> int:
     p.add_argument("--refresh-baseline", action="store_true")
     args = p.parse_args(argv)
 
+    if not args.cpu_baseline:
+        # A wedged relay terminal would hang the driver's bench run at
+        # backend init; pin a live terminal group first (sgg/utils/axon.py).
+        try:
+            from sgg.utils.axon import ensure_live_terminal
+
+            ensure_live_terminal()
+        except Exception:
+            pass
+
     if args.cpu_baseline:
         ips, sec, _, _ = measure(steps=3, warmup=1, platform="cpu")
         payload = {"images_per_sec_per_chip": ips, "sec_per_step": sec}

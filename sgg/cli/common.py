@@ -43,6 +43,15 @@ def apply_platform(args: argparse.Namespace) -> None:
 
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "platform", None) in (None, "axon", "tpu"):
+        # A wedged relay terminal hangs client init forever; pin a live one
+        # (sgg/utils/axon.py) before the backend initializes.
+        try:
+            from sgg.utils.axon import ensure_live_terminal
+
+            ensure_live_terminal()
+        except Exception:
+            pass
     # Persistent compilation cache: repeat CLI launches (train resume,
     # generate, evaluate) skip recompiling unchanged programs. Measured
     # caveat: hosts whose TPU compiles remotely (this machine's axon relay
