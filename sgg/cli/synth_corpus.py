@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=375)
     p.add_argument("--jpeg-quality", type=int, default=75)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--grounded", action="store_true",
+                   help="derive predicates from rendered rectangle geometry "
+                        "(pixel-learnable image→triple mapping, VG-style "
+                        "boxes in the JSON)")
     args = p.parse_args(argv)
 
     stats = write_synthetic_vg_corpus(
@@ -38,6 +42,7 @@ def main(argv=None) -> int:
         vocab_objects=args.vocab_objects,
         vocab_predicates=args.vocab_predicates,
         width=args.width, height=args.height, jpeg_quality=args.jpeg_quality,
+        grounded=args.grounded,
     )
     print("[sgg.synth_corpus] " + json.dumps(stats), flush=True)
     return 0

@@ -194,3 +194,49 @@ def test_synthetic_corpus_and_streaming_extract(tmp_path):
     last = read_feature_shard(str(out / "shard-00002-of-00003.npz"))
     assert last["features"].shape[0] == 1
     assert list(last["image_ids"]) == [ids[-1]]
+
+
+def test_grounded_corpus(tmp_path):
+    """Grounded mode: predicates are a deterministic function of rendered
+    boxes, boxes are recorded VG-style, and the standard preprocess chain
+    consumes the output."""
+    from sgg.data.synthetic import (
+        GROUNDED_PREDICATES,
+        spatial_predicate,
+        write_synthetic_vg_corpus,
+    )
+    from sgg.data.vg import (
+        build_vocab_from_relationships,
+        filter_and_encode,
+        parse_relationships,
+    )
+
+    assert spatial_predicate((20, 20, 20, 20), (10, 10, 100, 80)) == "inside"
+    assert spatial_predicate((10, 10, 100, 80), (20, 20, 20, 20)) == "around"
+    assert spatial_predicate((0, 0, 40, 40), (10, 20, 40, 40)) == "on"
+    assert spatial_predicate((10, 20, 40, 40), (0, 0, 40, 40)) == "under"
+    assert spatial_predicate((0, 0, 20, 20), (25, 2, 20, 20)) == "left of"
+    assert spatial_predicate((25, 2, 20, 20), (0, 0, 20, 20)) == "right of"
+    assert spatial_predicate((0, 0, 10, 10), (400, 300, 10, 10)) == "far from"
+
+    info = write_synthetic_vg_corpus(
+        str(tmp_path), num_images=6, seed=0, grounded=True, width=120,
+        height=90, log_every=0,
+    )
+    assert info["num_images"] == 6 and info["num_rels"] > 0
+    import json
+
+    entries = json.load(open(tmp_path / "relationships.json"))
+    for e in entries:
+        for r in e["relationships"]:
+            assert r["predicate"] in GROUNDED_PREDICATES
+            sb = (r["subject"]["x"], r["subject"]["y"], r["subject"]["w"],
+                  r["subject"]["h"])
+            ob = (r["object"]["x"], r["object"]["y"], r["object"]["w"],
+                  r["object"]["h"])
+            assert r["predicate"] == spatial_predicate(sb, ob)
+
+    images = parse_relationships(str(tmp_path / "relationships.json"))
+    vocab = build_vocab_from_relationships(images, min_count=1)
+    ids, enc = filter_and_encode(images, vocab)
+    assert len(ids) == 6
