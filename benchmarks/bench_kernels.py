@@ -149,6 +149,50 @@ def bench_matmul(dtype=jnp.bfloat16):
              shape=f"{M}x{K}x{K}", xla_ref_tflops=round(flops / t_x / 1e12, 3))
 
 
+def bench_fused_decode(V=1024, B=32, dtype=jnp.bfloat16):
+    """Fused one-program decode vs the XLA op chain at vg1k decoder dims
+    (VERDICT r2 item 2's measured table). The decode is latency-bound, so
+    the metric is µs per full 3-step decode, not TFLOP/s."""
+    from sgg.kernels.fused_decode import decode_reference, fused_decode
+
+    F, H, E, A, Z, R = 512, 512, 256, 256, 128, 196
+    r = np.random.RandomState(0)
+    params = {
+        "wf": r.randn(F, A) * 0.05, "wh": r.randn(H, A) * 0.05,
+        "bh": r.randn(A) * 0.01, "v": r.randn(A) * 0.05,
+        "wc": r.randn(F, H) * 0.05, "bc": r.randn(H) * 0.01,
+        "wi": r.randn(F, H) * 0.05, "bi": r.randn(H) * 0.01,
+        "k": r.randn(F + E + Z + H, 4 * H) * 0.02,
+        "bk": r.randn(4 * H) * 0.01,
+        "wd": r.randn(H + F, E) * 0.03, "bd": r.randn(E) * 0.01,
+        "wv": r.randn(E, V) * 0.05, "bv": r.randn(V) * 0.01,
+        "emb": r.randn(V, E) * 0.01,
+    }
+    params = {k: jnp.asarray(v, jnp.float32) for k, v in params.items()}
+    feats = jnp.asarray(r.randn(B, R, F) * 0.5, dtype)
+    z = jnp.asarray(r.randn(B, Z), dtype)
+    g = jnp.asarray(r.randn(B, 3, V), jnp.float32)
+
+    def chain(fn):
+        def step(c):
+            y = fn(c)
+            d = jnp.sum(y.astype(jnp.float32), axis=(1, 2)) * 1e-6
+            return (c.astype(jnp.float32) + d[:, None, None]).astype(dtype)
+        return step
+
+    t_fused = time_marginal_scan(
+        chain(lambda c: fused_decode(params, c, z, g, tau=0.5, hard=True)),
+        feats, n1=20, n2=220,
+    )
+    t_ref = time_marginal_scan(
+        chain(lambda c: decode_reference(params, c, z, g, tau=0.5, hard=True)),
+        feats, n1=20, n2=220,
+    )
+    emit("fused_decode_us", t_fused * 1e6, "us/decode",
+         shape=f"B{B}xV{V}", xla_chain_us=round(t_ref * 1e6, 1),
+         speedup=round(t_ref / t_fused, 3))
+
+
 if __name__ == "__main__":
     print(f"# backend={jax.default_backend()}", file=sys.stderr)
     bench_flash()
@@ -158,3 +202,5 @@ if __name__ == "__main__":
     bench_conv_1x1()
     bench_conv_s2()
     bench_matmul()
+    bench_fused_decode()
+    bench_fused_decode(V=8192)

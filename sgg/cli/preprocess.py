@@ -70,6 +70,9 @@ def main(argv=None) -> int:
     p.add_argument("--min-count", type=int, default=2)
     p.add_argument("--min-triples", type=int, default=1)
     p.add_argument("--max-triples-per-image", type=int, default=32)
+    p.add_argument("--max-images", type=int, default=None,
+                   help="subsample the kept images before the split "
+                        "(bounds extraction time; deterministic by --seed)")
     p.add_argument("--test-fraction", type=float, default=0.1)
     p.add_argument("--shard-size", type=int, default=1024)
     p.add_argument("--regions", type=int, default=196)
@@ -132,6 +135,17 @@ def main(argv=None) -> int:
         f"[sgg.preprocess] kept {len(ids)}/{len(images)} images, vocab={len(vocab)}",
         flush=True,
     )
+    if args.max_images is not None and len(ids) > args.max_images:
+        # Subsample AFTER the vocab build (vocab reflects the full corpus)
+        # but before the split, so train/test stay disjoint within the
+        # subset. Deterministic in --seed.
+        keep = np.random.RandomState(args.seed).choice(
+            len(ids), size=args.max_images, replace=False
+        )
+        keep = sorted(keep)
+        ids = [ids[i] for i in keep]
+        enc = [enc[i] for i in keep]
+        print(f"[sgg.preprocess] subsampled to {len(ids)} images", flush=True)
 
     train_ids, test_ids = train_test_split(ids, args.test_fraction, args.seed)
     pos = {im: i for i, im in enumerate(ids)}
