@@ -40,10 +40,16 @@ def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BAT
     dispatch, scalar readback) and difference two iteration counts to cancel
     the constant term. ``steps``/``warmup`` double as the two scan lengths.
     """
-    if platform:
-        import jax
+    import jax
 
+    if platform:
         jax.config.update("jax_platforms", platform)
+    elif os.environ.get("JAX_PLATFORMS") == "axon":
+        # The relay plugin has registered its platform as 'tpu' in some
+        # sessions; then the machine's JAX_PLATFORMS=axon env kills backend
+        # init. Config outranks env — reset to auto-select (sgg/cli/common.py
+        # has the full story).
+        jax.config.update("jax_platforms", "")
     import functools
 
     import jax

@@ -14,11 +14,18 @@ the tunnel, not the chip. Method used here instead:
 from __future__ import annotations
 
 import json
+import os
 import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS") == "axon":
+    # Platform-name drift: when the relay plugin registers as 'tpu', the
+    # machine's JAX_PLATFORMS=axon env breaks every backend init. Config
+    # outranks env; auto-select finds the chip either way (sgg/cli/common.py).
+    jax.config.update("jax_platforms", "")
 
 
 def time_marginal_scan(fn, init, n1: int = 4, n2: int = 24) -> float:

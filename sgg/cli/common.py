@@ -41,8 +41,27 @@ def apply_platform(args: argparse.Namespace) -> None:
     """Must run before any JAX backend use."""
     import jax
 
+    if os.environ.get("JAX_PLATFORMS") == "axon":
+        # This machine exports JAX_PLATFORMS=axon, but the relay plugin has
+        # registered its platform as 'tpu' in some sessions — then the env
+        # var itself kills EVERY backend init ("'axon' is not in the list of
+        # known backends: ['cpu', 'tpu']") at the first device_put, long
+        # after CLI startup. jax.config outranks the env var: reset to
+        # auto-select, which picks the relay chip under either registration.
+        jax.config.update("jax_platforms", "")
     if getattr(args, "platform", None):
-        jax.config.update("jax_platforms", args.platform)
+        if args.platform == "axon":
+            # Platform-name drift across sessions: the relay plugin always
+            # registers a factory called 'axon', but the client it builds
+            # has reported its platform as 'axon' in some sessions and
+            # 'tpu' in others — under the latter,
+            # jax_platforms='axon' dies with "not in the list of known
+            # backends: ['cpu', 'tpu']". Leave jax_platforms on
+            # auto-select instead: the relay chip outranks cpu under
+            # either registration, so 'axon' still means "the relay TPU".
+            pass
+        else:
+            jax.config.update("jax_platforms", args.platform)
     if getattr(args, "platform", None) in (None, "axon", "tpu"):
         # A wedged relay terminal hangs client init forever; pin a live one
         # (sgg/utils/axon.py) before the backend initializes.

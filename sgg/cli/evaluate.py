@@ -31,6 +31,8 @@ def main(argv=None) -> int:
     p.add_argument("--num-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--split", default="test", choices=["train", "test"])
+    p.add_argument("--decode", default="xla", choices=["xla", "fused"],
+                   help="decode path (see sgg.cli.generate --decode)")
     p.add_argument("--seed", type=int, default=0)
     add_platform_arg(p)
     args = p.parse_args(argv)
@@ -57,10 +59,18 @@ def main(argv=None) -> int:
         return 1
     state = restored
 
-    sampler = make_sampler(
-        cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
-        tau=args.temperature,
-    )
+    if args.decode == "fused":
+        from sgg.eval.sampler import make_fused_sampler
+
+        sampler = make_fused_sampler(
+            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
+            tau=args.temperature,
+        )
+    else:
+        sampler = make_sampler(
+            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
+            tau=args.temperature,
+        )
     rng = jax.random.key(args.seed)
     from collections import Counter
 

@@ -42,6 +42,11 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--split", default="test", choices=["train", "test"],
                    help="evaluate on held-out shards when available (default)")
+    p.add_argument("--decode", default="xla", choices=["xla", "fused"],
+                   help="decode path: 'xla' = vmapped generator.apply, "
+                        "'fused' = one Pallas program per draw with decoder "
+                        "weights VMEM-resident (bit-identical tokens; see "
+                        "BASELINE.md fused-decode table for when it wins)")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -93,7 +98,11 @@ def main(argv=None) -> int:
     # (chunked — BASELINE.md documents the relay's large-transfer cliff) and
     # gather per-batch by index inside the jitted sampler. Per-batch host↔
     # device traffic drops from a [B,R,F] slab to B indices + B·K·3 tokens.
-    from sgg.eval.sampler import device_put_features, make_indexed_sampler
+    from sgg.eval.sampler import (
+        device_put_features,
+        make_fused_sampler,
+        make_indexed_sampler,
+    )
 
     B = args.batch_size
     device_resident = (
@@ -107,7 +116,19 @@ def main(argv=None) -> int:
         feats_dev = device_put_features(ds.features, dtype=cfg.model.dtype)
         jax.block_until_ready(feats_dev)
         t_up = time.perf_counter() - t0
-        sampler = make_indexed_sampler(
+        if args.decode == "fused":
+            sampler = make_fused_sampler(
+                cfg, step_mask=vocab.step_mask(),
+                num_samples=args.num_samples, tau=args.temperature,
+                indexed=True,
+            )
+        else:
+            sampler = make_indexed_sampler(
+                cfg, step_mask=vocab.step_mask(),
+                num_samples=args.num_samples, tau=args.temperature,
+            )
+    elif args.decode == "fused":
+        sampler = make_fused_sampler(
             cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
             tau=args.temperature,
         )

@@ -94,6 +94,63 @@ def make_indexed_sampler(
     return jax.jit(sample)
 
 
+def make_fused_sampler(
+    cfg: Config, step_mask=None, num_samples: int = 50,
+    tau: float | None = None, indexed: bool = False, block_b: int = 32,
+):
+    """Sampler on the fused Pallas decode kernel (sgg/kernels/fused_decode).
+
+    Same signature/contract as :func:`make_sampler` (or, with
+    ``indexed=True``, :func:`make_indexed_sampler`) and bit-identical tokens
+    for the same rng — the kernel reproduces ``AttentionLSTMGenerator.apply``
+    including its per-step rng split sequence (tests/unit/test_fused_decode.py,
+    tests/unit/test_fused_sampler.py). Where the XLA sampler vmaps K noise
+    draws into one giant program, this one ``lax.scan``s K fused-decode
+    dispatches: each draw is ONE Pallas program with all decoder weights
+    VMEM-resident, so the sequential op-dispatch chain the MFU analysis
+    flagged (BASELINE.md "Step MFU across shapes") collapses to one program
+    launch per draw.
+    """
+    from sgg.kernels.fused_decode import (
+        decode_gumbel_noise,
+        decode_params_from_generator,
+        fused_decode,
+        step_mask_bias,
+    )
+
+    mask_bias = None if step_mask is None else step_mask_bias(step_mask)
+    tau_val = cfg.train.tau_min if tau is None else tau
+    dtype = cfg.model.dtype
+
+    def _tokens(g_params, feats, rng):
+        dp = decode_params_from_generator(g_params)
+        B = feats.shape[0]
+        V = dp["wv"].shape[1]
+
+        def one(_, key):
+            kz, kg = jax.random.split(key)
+            z = jax.random.normal(kz, (B, cfg.model.noise_dim), dtype)
+            gum = decode_gumbel_noise(kg, B, V)
+            y = fused_decode(
+                dp, feats.astype(dtype), z, gum, tau=tau_val,
+                mask_bias=mask_bias, hard=True, block_b=block_b,
+            )
+            return None, jnp.argmax(y, axis=-1).astype(jnp.int32)
+
+        keys = jax.random.split(rng, num_samples)
+        _, toks = jax.lax.scan(one, None, keys)  # [K, B, 3]
+        return jnp.transpose(toks, (1, 0, 2))  # [B, K, 3]
+
+    if indexed:
+        def sample(g_params, feats_dev, idx, rng):
+            return _tokens(g_params, jnp.take(feats_dev, idx, axis=0), rng)
+    else:
+        def sample(g_params, feats, rng):
+            return _tokens(g_params, feats, rng)
+
+    return jax.jit(sample)
+
+
 def device_put_features(
     features: np.ndarray, dtype=None, chunk_bytes: int = 64 << 20
 ):

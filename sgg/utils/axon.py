@@ -31,6 +31,12 @@ _PROBE = (
 
 def _probe(pool_ips: str | None, timeout: float) -> bool:
     env = os.environ.copy()
+    # The machine exports JAX_PLATFORMS=axon, but in sessions where the relay
+    # plugin registers its platform as 'tpu' that env var makes EVERY jax
+    # backend init raise — which made this probe report all four terminal
+    # groups dead while the chip was fine. Auto-select finds the chip under
+    # either registration (plugin priority outranks cpu).
+    env.pop("JAX_PLATFORMS", None)
     if pool_ips is not None:
         env["PALLAS_AXON_POOL_IPS"] = pool_ips
     try:
@@ -45,7 +51,7 @@ def _probe(pool_ips: str | None, timeout: float) -> bool:
         return False
 
 
-def ensure_live_terminal(timeout: float = 75.0, verbose: bool = True) -> str | None:
+def ensure_live_terminal(timeout: float = 150.0, verbose: bool = True) -> str | None:
     """Pin PALLAS_AXON_POOL_IPS to a responsive terminal group.
 
     Returns the pinned value (None = default worked). Uses a cache file so
