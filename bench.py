@@ -45,11 +45,12 @@ def measure(steps: int, warmup: int, platform: str | None, batch_size: int = BAT
     if platform:
         jax.config.update("jax_platforms", platform)
     elif os.environ.get("JAX_PLATFORMS") == "axon":
-        # The relay plugin has registered its platform as 'tpu' in some
-        # sessions; then the machine's JAX_PLATFORMS=axon env kills backend
-        # init. Config outranks env — reset to auto-select (sgg/cli/common.py
-        # has the full story).
-        jax.config.update("jax_platforms", "")
+        # sitecustomize can swallow a failed relay-plugin registration,
+        # leaving no 'axon' factory and a crash at first device use —
+        # re-register in-process (sgg/utils/axon.py has the pathology).
+        from sgg.utils.axon import ensure_axon_registered
+
+        ensure_axon_registered()
     import functools
 
     import jax

@@ -22,10 +22,15 @@ import jax
 import jax.numpy as jnp
 
 if os.environ.get("JAX_PLATFORMS") == "axon":
-    # Platform-name drift: when the relay plugin registers as 'tpu', the
-    # machine's JAX_PLATFORMS=axon env breaks every backend init. Config
-    # outranks env; auto-select finds the chip either way (sgg/cli/common.py).
-    jax.config.update("jax_platforms", "")
+    # sitecustomize can swallow a failed relay-plugin registration, leaving
+    # no 'axon' factory and a crash at first device use — re-register
+    # in-process (sgg/utils/axon.py has the full pathology).
+    try:
+        from sgg.utils.axon import ensure_axon_registered
+
+        ensure_axon_registered(verbose=False)
+    except Exception:
+        pass
 
 
 def time_marginal_scan(fn, init, n1: int = 4, n2: int = 24) -> float:

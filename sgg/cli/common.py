@@ -41,27 +41,33 @@ def apply_platform(args: argparse.Namespace) -> None:
     """Must run before any JAX backend use."""
     import jax
 
-    if os.environ.get("JAX_PLATFORMS") == "axon":
-        # This machine exports JAX_PLATFORMS=axon, but the relay plugin has
-        # registered its platform as 'tpu' in some sessions — then the env
-        # var itself kills EVERY backend init ("'axon' is not in the list of
-        # known backends: ['cpu', 'tpu']") at the first device_put, long
-        # after CLI startup. jax.config outranks the env var: reset to
-        # auto-select, which picks the relay chip under either registration.
-        jax.config.update("jax_platforms", "")
+    if (
+        getattr(args, "platform", None) == "axon"
+        or (not getattr(args, "platform", None)
+            and os.environ.get("JAX_PLATFORMS") == "axon")
+    ):
+        # sitecustomize swallows relay-plugin registration failures, which
+        # leaves this process with NO 'axon' backend factory and a
+        # guaranteed crash at first device use ("Backend 'axon' is not in
+        # the list of known backends: ['cpu', 'tpu']" — killed a round-3
+        # training run at its first device_put, minutes after a clean
+        # startup). Heal it before anything initializes the backend
+        # (sgg/utils/axon.py has the full pathology); fail fast with the
+        # real story if unhealable.
+        from sgg.utils.axon import ensure_axon_registered
+
+        if not ensure_axon_registered():
+            raise RuntimeError(
+                "relay PJRT plugin could not be (re-)registered — terminal "
+                "groups are likely claimed/wedged; wait out the ~5-10 min "
+                "claim window and retry (sgg/utils/axon.py)"
+            )
     if getattr(args, "platform", None):
-        if args.platform == "axon":
-            # Platform-name drift across sessions: the relay plugin always
-            # registers a factory called 'axon', but the client it builds
-            # has reported its platform as 'axon' in some sessions and
-            # 'tpu' in others — under the latter,
-            # jax_platforms='axon' dies with "not in the list of known
-            # backends: ['cpu', 'tpu']". Leave jax_platforms on
-            # auto-select instead: the relay chip outranks cpu under
-            # either registration, so 'axon' still means "the relay TPU".
-            pass
-        else:
-            jax.config.update("jax_platforms", args.platform)
+        # NB: 'axon' is the plugin's registry key (its client self-reports
+        # platform 'tpu'); naming it explicitly also skips the real libtpu
+        # 'tpu' factory, whose init hangs on this relay-only host — never
+        # leave jax_platforms on auto-select here.
+        jax.config.update("jax_platforms", args.platform)
     if getattr(args, "platform", None) in (None, "axon", "tpu"):
         # A wedged relay terminal hangs client init forever; pin a live one
         # (sgg/utils/axon.py) before the backend initializes.

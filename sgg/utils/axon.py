@@ -29,14 +29,64 @@ _PROBE = (
 )
 
 
+def ensure_axon_registered(
+    retries: int = 3, delay: float = 30.0, verbose: bool = True
+) -> bool:
+    """Heal a swallowed relay-plugin registration.
+
+    This machine's sitecustomize registers the relay PJRT plugin at
+    interpreter start and deliberately SWALLOWS failures (so a wedged
+    terminal can't take down every python process). A process whose import
+    raced such a failure has no 'axon' backend factory, and every later
+    backend use dies with "Backend 'axon' is not in the list of known
+    backends: ['cpu', 'tpu']" — observed in round 3 killing a training run
+    at its first device_put, minutes after a clean-looking startup.
+    Registration is an ordinary python call, so re-attempt it in-process
+    with backoff. Returns True when the factory exists.
+    """
+    import jax  # noqa: F401  (factories dict exists after jax import)
+    from jax._src import xla_bridge as xb
+
+    if "axon" in xb._backend_factories:
+        return True
+    import time
+    import uuid
+
+    for i in range(retries):
+        try:
+            from axon.register import register
+
+            register(
+                None,
+                f"{os.environ.get('PALLAS_AXON_TPU_GEN', 'v5e')}:1x1x1",
+                so_path="/opt/axon/libaxon_pjrt.so",
+                session_id=str(uuid.uuid4()),
+                remote_compile=(
+                    os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
+                ),
+            )
+        except Exception as e:
+            if verbose:
+                print(
+                    f"[sgg.axon] plugin re-register {i + 1}/{retries} "
+                    f"failed: {type(e).__name__}: {e}",
+                    file=sys.stderr, flush=True,
+                )
+            if "axon" not in xb._backend_factories and i + 1 < retries:
+                time.sleep(delay)
+            continue
+        if "axon" in xb._backend_factories:
+            if verbose:
+                print(
+                    "[sgg.axon] relay plugin re-registered in-process",
+                    file=sys.stderr, flush=True,
+                )
+            return True
+    return "axon" in xb._backend_factories
+
+
 def _probe(pool_ips: str | None, timeout: float) -> bool:
     env = os.environ.copy()
-    # The machine exports JAX_PLATFORMS=axon, but in sessions where the relay
-    # plugin registers its platform as 'tpu' that env var makes EVERY jax
-    # backend init raise — which made this probe report all four terminal
-    # groups dead while the chip was fine. Auto-select finds the chip under
-    # either registration (plugin priority outranks cpu).
-    env.pop("JAX_PLATFORMS", None)
     if pool_ips is not None:
         env["PALLAS_AXON_POOL_IPS"] = pool_ips
     try:
