@@ -1,0 +1,60 @@
+#!/bin/bash
+# Grounded-corpus end-to-end pipeline: pixels -> pretrained encoder ->
+# features -> WGAN-GP -> held-out image recall@50 vs the global-frequency
+# baseline (VERDICT r2 item 1: the bar is >=2x the baseline).
+#
+# Serial by design — ONE TPU process at a time, with settle pauses between
+# stages (NOTES.md: relay terminals hold their claim briefly even after
+# clean exits). Idempotent: each stage skips when its output exists, so a
+# rerun resumes where it stopped (train auto-resumes from its checkpoint).
+cd /root/repo || exit 1
+# APPEND to PYTHONPATH — overwriting it drops /root/.axon_site, which is how
+# sitecustomize and the relay plugin (`import axon`) get onto sys.path. An
+# overwrite here cost a full pipeline launch: every stage died at
+# apply_platform with "No module named 'axon'".
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
+D=/root/data
+STEPS=${STEPS:-100000}
+log() { echo "[pipeline $(date +%H:%M:%S)] $*"; }
+
+if [ ! -f "$D/enc_pretrain_grounded/encoder_params.npz" ]; then
+  log "stage 1: supervised encoder pretrain (object presence)"
+  python -m sgg.cli.pretrain --vg-dir "$D/synthvg_grounded" \
+    --image-dir "$D/synthvg_grounded/images" \
+    --out-dir "$D/enc_pretrain_grounded" \
+    --max-images 38400 --steps 20000 --batch-size 64 --log-every 500 \
+    --platform axon || exit 1
+  sleep 90
+else
+  log "stage 1: skipped (encoder_params.npz exists)"
+fi
+
+if [ ! -f "$D/grounded_shards/vocab.json" ]; then
+  log "stage 2: preprocess — extract features through the pretrained encoder"
+  python -m sgg.cli.preprocess --vg-dir "$D/synthvg_grounded" \
+    --image-dir "$D/synthvg_grounded/images" \
+    --encoder vgg19 --encoder-ckpt "$D/enc_pretrain_grounded" \
+    --feat-dtype float16 --out-dir "$D/grounded_shards" \
+    --platform axon || exit 1
+  sleep 90
+else
+  log "stage 2: skipped (grounded_shards exists)"
+fi
+
+log "stage 3: global-frequency recall baseline (the bar)"
+python benchmarks/freq_baseline.py --data-dir "$D/grounded_shards" --k 50 \
+  | tee "$D/grounded_freq_baseline.txt" || exit 1
+
+log "stage 4: WGAN-GP train ($STEPS steps, rotating device-resident subsets)"
+python -m sgg.cli.train --config vg1k --workdir "$D/run_grounded" \
+  --platform axon \
+  --set data.source=shards --set "data.data_dir=$D/grounded_shards" \
+  --set model.compute_dtype=bfloat16 \
+  --set train.batch_size=256 --set "train.total_steps=$STEPS" \
+  --set train.log_every=200 --set train.checkpoint_every=2000 || exit 1
+sleep 90
+
+log "stage 5: held-out image recall@50"
+python -m sgg.cli.evaluate --workdir "$D/run_grounded" --split test \
+  --k 50 --num-samples 100 --batch-size 256 --platform axon || exit 1
+log "done"

@@ -82,7 +82,11 @@ def main(argv=None) -> int:
                    choices=["float32", "float16"],
                    help="shard feature dtype (float16 halves storage/transfer)")
     p.add_argument("--seed", type=int, default=0)
+    from sgg.cli.common import add_platform_arg, apply_platform
+
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
 
     os.makedirs(args.out_dir, exist_ok=True)
 

@@ -54,7 +54,15 @@ def ensure_axon_registered(
 
     for i in range(retries):
         try:
-            from axon.register import register
+            try:
+                from axon.register import register
+            except ModuleNotFoundError:
+                # The plugin lives in /root/.axon_site, normally reached via
+                # PYTHONPATH. A launcher that OVERWRITES PYTHONPATH (instead
+                # of appending) silently drops it — observed killing a whole
+                # pipeline launch in round 3. Re-add the known location.
+                sys.path.append("/root/.axon_site")
+                from axon.register import register
 
             register(
                 None,
@@ -87,6 +95,10 @@ def ensure_axon_registered(
 
 def _probe(pool_ips: str | None, timeout: float) -> bool:
     env = os.environ.copy()
+    if "/root/.axon_site" not in env.get("PYTHONPATH", ""):
+        env["PYTHONPATH"] = (
+            env.get("PYTHONPATH", "") + os.pathsep + "/root/.axon_site"
+        ).lstrip(os.pathsep)
     if pool_ips is not None:
         env["PALLAS_AXON_POOL_IPS"] = pool_ips
     try:
