@@ -126,6 +126,16 @@ def main(argv=None) -> int:
 
     images_d = device_put_features(imgs_host)
     labels_d = device_put_features(labels_host)
+    try:  # diagnostic: confirm the in-place upload peaked near store size
+        ms = jax.devices()[0].memory_stats() or {}
+        print(
+            f"[sgg.pretrain] HBM in use "
+            f"{ms.get('bytes_in_use', 0) / 1e9:.2f} GB / "
+            f"limit {ms.get('bytes_limit', 0) / 1e9:.2f} GB",
+            flush=True,
+        )
+    except Exception:
+        pass
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model, params, opt_state, tx = make_pretrain_state(

@@ -25,6 +25,8 @@ Sampling semantics and deviations from the reference, documented
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -160,17 +162,33 @@ def device_put_features(
     a single 411 MB device_put runs at ~4 MB/s while ≤64 MB chunks sustain
     ~42 MB/s, and casting to the compute dtype on-device is free whereas a
     host-side numpy bf16 cast of the same array costs ~7 s on this 1-core
-    host. Returns one concatenated device array in ``dtype``.
+    host. Returns one device array of ``features``'s shape in ``dtype``.
+
+    Assembly is IN PLACE: preallocate the store, then write each uploaded
+    chunk with a donated ``dynamic_update_slice`` so the peak footprint is
+    store + one chunk. The round-2 upload-then-``jnp.concatenate`` scheme
+    peaked at 2× the store, which OOM'd a 5.78 GB pretrain image store on
+    the chip (round 3) — and the failure surfaced asynchronously at the
+    next readback, far from the cause.
     """
     n = features.shape[0]
     per_img = features[0].nbytes if n else 1
     per = max(1, chunk_bytes // per_img)
-    parts = [jax.device_put(features[i : i + per]) for i in range(0, n, per)]
-    if dtype is None:
-        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
-    return jax.jit(lambda *ps: jnp.concatenate([p.astype(dtype) for p in ps]))(
-        *parts
-    )
+    out_dtype = features.dtype if dtype is None else dtype
+    if n <= per:
+        chunk = jax.device_put(features)
+        return chunk if dtype is None else chunk.astype(dtype)
+
+    @partial(jax.jit, donate_argnums=0)
+    def write(store, chunk, lo):
+        return jax.lax.dynamic_update_slice_in_dim(
+            store, chunk.astype(out_dtype), lo, axis=0
+        )
+
+    store = jnp.zeros(features.shape, out_dtype)
+    for lo in range(0, n, per):
+        store = write(store, jax.device_put(features[lo : lo + per]), lo)
+    return store
 
 
 def assemble_scene_graphs(
