@@ -84,3 +84,32 @@ def test_rotating_device_iterator(ds):
     # 40 super-batches × 8 rows with swaps every ≥1 step must reach beyond
     # one 8-image subset.
     assert len(seen_rows) > 8
+
+
+def test_device_put_features_in_place_chunks():
+    """Chunked upload must reassemble exactly, across dtypes and tail chunks.
+
+    The in-place scheme (preallocate + donated dynamic_update_slice) replaced
+    upload-then-concatenate after the 2x transient peak OOM'd a 5.78 GB
+    store in round 3 — this pins value-exactness for both the multi-chunk
+    path (with a ragged tail) and the single-chunk fast path.
+    """
+    from sgg.eval.sampler import device_put_features
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(37, 5, 6).astype(np.float32)
+    row = x[0].nbytes
+    out = device_put_features(x, chunk_bytes=4 * row)  # 4 rows/chunk, tail=1
+    assert np.array_equal(np.asarray(out), x)
+    assert out.dtype == x.dtype
+
+    u8 = (rng.rand(19, 3, 4) * 255).astype(np.uint8)
+    out8 = device_put_features(u8, chunk_bytes=8 * u8[0].nbytes)
+    assert np.array_equal(np.asarray(out8), u8)
+
+    bf = device_put_features(x, dtype=jax.numpy.bfloat16, chunk_bytes=4 * row)
+    assert bf.dtype == jax.numpy.bfloat16
+    assert np.allclose(np.asarray(bf, np.float32), x, atol=0.02, rtol=0.02)
+
+    single = device_put_features(x)  # fits one chunk
+    assert np.array_equal(np.asarray(single), x)
