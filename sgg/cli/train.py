@@ -69,7 +69,9 @@ def main(argv=None) -> int:
     mesh = None
     sharding = None
     if jax.device_count() > 1:
-        mesh = make_mesh(MeshSpec(data=cfg.mesh.data, model=cfg.mesh.model))
+        mesh = make_mesh(MeshSpec(
+            data=cfg.mesh.data, model=cfg.mesh.model, seq=cfg.mesh.seq
+        ))
         sharding = batch_sharding(mesh)
         print(f"[sgg.train] mesh={dict(mesh.shape)}", flush=True)
 

@@ -45,9 +45,10 @@ class ModelConfig:
     # Requires a mesh; the patch sequence shards over the 'model' axis.
     sp_mode: str = ""
     # Pipeline-parallel the ViT block stack over the 'model' mesh axis
-    # (GPipe microbatching; sgg.dist.pipeline_parallel). Mutually exclusive
-    # with sp_mode — both consume the 'model' axis. 0 = off; >0 = number of
-    # microbatches (must divide the per-step batch).
+    # (GPipe microbatching; sgg.dist.pipeline_parallel). 0 = off; >0 =
+    # number of microbatches (must divide the per-step batch). Composes
+    # with sp_mode when the mesh has a 'seq' axis (mesh.seq > 1); on a
+    # 2-axis mesh the combination raises (both would consume 'model').
     pp_microbatches: int = 0
 
     @property
@@ -124,6 +125,11 @@ class TrainConfig:
 class MeshConfig:
     data: int = -1  # -1 = all remaining devices
     model: int = 1
+    # >1 adds a 'seq' mesh axis (between 'data' and 'model') that the
+    # ring/Ulysses attention shards the ViT patch axis over, letting
+    # sp_mode and pp_microbatches compose (DP×SP×PP) instead of
+    # contending for 'model'.
+    seq: int = 1
     # Partitioning backend: 'shard_map' (explicit pmean collectives),
     # 'gspmd' (NamedSharding rules; required for TP/FSDP), or 'auto'
     # (gspmd whenever model>1 or fsdp, else shard_map).

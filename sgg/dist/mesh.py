@@ -18,6 +18,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# Sequence axis for DP×SP×PP composition: when MeshSpec.seq > 1 the mesh
+# grows a third 'seq' axis between 'data' and 'model', the ring/Ulysses
+# attention shards the ViT patch axis over it, and the pipeline keeps its
+# stages on 'model' — the two no longer contend for one axis (round-2
+# weak #4).
+SEQ_AXIS = "seq"
 # Expert-parallel hook (SURVEY.md §2.2 EP row): no MoE in scope, but the
 # axis name is reserved so an expert dimension can be added to MeshSpec and
 # sharding rules without touching call sites.
@@ -28,39 +34,50 @@ EXPERT_AXIS = "expert"
 class MeshSpec:
     data: int = -1  # -1 = all devices not used by other axes
     model: int = 1
+    # >1 adds a 'seq' axis between 'data' and 'model' so ring/Ulysses SP
+    # and the GPipe pipeline compose on one mesh instead of contending for
+    # the single 'model' axis.
+    seq: int = 1
 
 
 def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
-    """Build a ('data', 'model') mesh over the available devices.
+    """Build a ('data'[, 'seq'], 'model') mesh over the available devices.
 
     ``jax.make_mesh`` picks a device order that keeps the trailing ('model')
     axis on physically adjacent chips, so TP collectives ride the fastest ICI
-    links and DP gradients the rest.
+    links and DP gradients the rest. With ``spec.seq > 1`` the mesh is three
+    dimensional; existing 2-axis consumers are unaffected because the axis
+    only exists when asked for.
     """
     spec = spec or MeshSpec()
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     model = max(1, spec.model)
+    seq = max(1, spec.seq)
     if spec.data > 0:
-        # Explicit sizes may select a sub-mesh (first data*model devices).
+        # Explicit sizes may select a sub-mesh (first data*seq*model devices).
         data = spec.data
-        if data * model > n:
-            raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
-        devices = devices[: data * model]
-    else:
-        if n % model:
+        if data * seq * model > n:
             raise ValueError(
-                f"model axis {model} does not divide device count {n}"
+                f"mesh {data}x{seq}x{model} needs more than {n} devices"
             )
-        data = n // model
+        devices = devices[: data * seq * model]
+    else:
+        if n % (seq * model):
+            raise ValueError(
+                f"seq*model axes {seq}*{model} do not divide device count {n}"
+            )
+        data = n // (seq * model)
     # Auto axis types → GSPMD propagation: the partitioner infers internal
     # shardings and inserts collectives from the in/out NamedShardings alone,
     # so model code stays mesh-agnostic. (This JAX defaults to Explicit axes,
     # which instead demand per-op out_sharding annotations.)
-    auto = (jax.sharding.AxisType.Auto,) * 2
-    return jax.make_mesh(
-        (data, model), (DATA_AXIS, MODEL_AXIS), axis_types=auto, devices=devices
-    )
+    if seq > 1:
+        shape, names = (data, seq, model), (DATA_AXIS, SEQ_AXIS, MODEL_AXIS)
+    else:
+        shape, names = (data, model), (DATA_AXIS, MODEL_AXIS)
+    auto = (jax.sharding.AxisType.Auto,) * len(shape)
+    return jax.make_mesh(shape, names, axis_types=auto, devices=devices)
 
 
 def batch_sharding(mesh: Mesh, leading_stacked: bool = True) -> NamedSharding:

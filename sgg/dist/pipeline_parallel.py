@@ -76,6 +76,7 @@ def pipeline_apply(
     axis_name: str = "model",
     num_microbatches: int | None = None,
     batch_axis: str | None = None,
+    seq_axis: str | None = None,
 ):
     """Run ``y = stage_{n-1}(…stage_0(x))`` pipelined over ``axis_name``.
 
@@ -86,6 +87,13 @@ def pipeline_apply(
         per stage) along dim 0.
       batch_axis: mesh axis the batch dim of ``x`` is data-sharded over
         (composing PP with DP on a 2-axis mesh); None = replicated batch.
+      seq_axis: mesh axis dim 1 of the activation (the ViT patch/sequence
+        dim, [mb, S, …]) is sharded over — DP×SP×PP composition on a
+        3-axis mesh. ``stage_fn`` must then be sequence-parallel itself
+        (e.g. its attention a ring over ``seq_axis``); every other block op
+        is pointwise/row-parallel in S, so shards stay independent. The
+        stage→stage ppermute moves only the local S-slice, shrinking each
+        hop by the seq-axis size.
     """
     n_stages = mesh.shape[axis_name]
     n_micro = num_microbatches or n_stages
@@ -100,9 +108,17 @@ def pipeline_apply(
             f"{mesh.shape[batch_axis]} — lower num_microbatches or raise the "
             "batch"
         )
+    if seq_axis and x.shape[1] % mesh.shape[seq_axis]:
+        raise ValueError(
+            f"sequence dim {x.shape[1]} not divisible by mesh axis "
+            f"{seq_axis!r} of size {mesh.shape[seq_axis]}"
+        )
     xm = x.reshape(n_micro, mb, *x.shape[1:])
 
-    x_spec = P(None, batch_axis) if batch_axis else P()
+    # [n_micro, mb, S, ...]: mb over batch_axis, S over seq_axis (if given).
+    x_spec = P(None, batch_axis, seq_axis) if seq_axis else (
+        P(None, batch_axis) if batch_axis else P()
+    )
     fn = jax.shard_map(
         partial(_pipeline_local, stage_fn=stage_fn, axis_name=axis_name),
         mesh=mesh,
@@ -138,6 +154,8 @@ def pipeline_vit_features(
     axis_name: str = "model",
     num_microbatches: int | None = None,
     batch_axis: str | None = None,
+    seq_axis: str | None = None,
+    sp_mode: str = "ring",
 ) -> jnp.ndarray:
     """ViT forward with the block stack GPipe-pipelined over ``axis_name``.
 
@@ -155,15 +173,34 @@ def pipeline_vit_features(
     stage split there would just serialize encoder and decoder with no
     memory or redundancy win at these model sizes — the block stack is the
     natural, shape-preserving pipeline.
+
+    ``seq_axis`` composes SP with PP on a 3-axis ('data','seq','model')
+    mesh (round-2 weak #4): each stage's activation is patch-sharded over
+    ``seq_axis``, and the blocks' attention runs as a RAW ring / Ulysses
+    collective over that axis — legal here because the whole pipeline body
+    already executes inside shard_map, where ``ppermute``/``all_to_all``
+    over any mesh axis are ordinary ops (the GSPMD-wrapped
+    ``make_sp_attention`` cannot be nested inside it).
     """
     from sgg.models.vit import TransformerBlock
 
     n_stages = mesh.shape[axis_name]
     params = variables["params"]
     stacked = stack_layer_params(params, "block", encoder.num_layers, n_stages)
+    attn_fn = None
+    if seq_axis is not None:
+        from sgg.dist.sequence_parallel import (
+            ring_flash_attention,
+            ulysses_attention,
+        )
+
+        raw = {"ring": ring_flash_attention, "ulysses": ulysses_attention}[
+            sp_mode or "ring"
+        ]
+        attn_fn = partial(raw, axis_name=seq_axis)
     block = TransformerBlock(
         encoder.num_heads, encoder.mlp_ratio, use_pallas=encoder.use_pallas,
-        attn_fn=None, dtype=encoder.dtype, param_dtype=encoder.param_dtype,
+        attn_fn=attn_fn, dtype=encoder.dtype, param_dtype=encoder.param_dtype,
     )
 
     def stage_fn(stage_params, act):
