@@ -46,12 +46,25 @@ python benchmarks/freq_baseline.py --data-dir "$D/grounded_shards" --k 50 \
   | tee "$D/grounded_freq_baseline.txt" || exit 1
 
 log "stage 4: WGAN-GP train ($STEPS steps, rotating device-resident subsets)"
-python -m sgg.cli.train --config vg1k --workdir "$D/run_grounded" \
-  --platform axon \
-  --set data.source=shards --set "data.data_dir=$D/grounded_shards" \
-  --set model.compute_dtype=bfloat16 \
-  --set train.batch_size=256 --set "train.total_steps=$STEPS" \
-  --set train.log_every=200 --set train.checkpoint_every=2000 || exit 1
+# Supervised relaunch loop: the relay PJRT client leaks ~100% of every
+# host->device transfer in host RAM (measured; see config.py
+# host_rss_exit_gb), so the trainer checkpoints and exits 75 before the
+# host OOM killer would SIGKILL it mid-step; auto-resume continues.
+while :; do
+  python -m sgg.cli.train --config vg1k --workdir "$D/run_grounded" \
+    --platform axon \
+    --set data.source=shards --set "data.data_dir=$D/grounded_shards" \
+    --set model.compute_dtype=bfloat16 \
+    --set train.batch_size=256 --set "train.total_steps=$STEPS" \
+    --set train.log_every=200 --set train.checkpoint_every=2000 \
+    --set data.rotation_min_steps=1000 \
+    --set train.host_rss_exit_gb=95
+  rc=$?
+  [ "$rc" -eq 75 ] || break
+  log "stage 4: RSS handover — relaunching trainer (auto-resume)"
+  sleep 60
+done
+[ "$rc" -eq 0 ] || exit 1
 sleep 90
 
 log "stage 5: held-out image recall@50"

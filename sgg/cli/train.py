@@ -276,6 +276,25 @@ def main(argv=None) -> int:
                     state,
                     data_state=grain_it.get_state() if grain_it else None,
                 )
+                # Host-RSS watchdog (config.py host_rss_exit_gb): the state
+                # is safely checkpointed right above, so hand over to the
+                # supervisor BEFORE the host OOM killer SIGKILLs us (which
+                # would lose up to checkpoint_every steps and can wedge the
+                # relay terminal).
+                limit = cfg.train.host_rss_exit_gb
+                if limit > 0 and step < cfg.train.total_steps:
+                    from sgg.utils.debug import host_rss_gb
+
+                    rss = host_rss_gb()
+                    if rss > limit:
+                        print(
+                            f"[sgg.train] host RSS {rss:.1f} GB > "
+                            f"{limit:.0f} GB limit — checkpointed at step "
+                            f"{step}, exiting 75 for supervised relaunch",
+                            flush=True,
+                        )
+                        ckpt.close()
+                        return 75
     finally:
         _restore_handlers()
     ckpt.close()

@@ -119,6 +119,15 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_every: int = 1000
     max_checkpoints: int = 3
+    # Host-RSS watchdog: when > 0 and the process RSS exceeds this many GB
+    # at a checkpoint boundary, checkpoint and exit(75) so a supervisor can
+    # relaunch (auto-resume continues the run). Exists because this
+    # machine's relay PJRT client leaks ~100% of every host→device
+    # transfer in host RAM (measured round 3: 1 GB uploaded → 1.01 GB RSS
+    # growth, unreclaimable — no defragment support); any long run with
+    # ongoing uploads (subset rotation, per-step host prefetch) eventually
+    # OOMs the HOST unless it hands over mid-run. 0 = disabled.
+    host_rss_exit_gb: float = 0.0
 
 
 @dataclass

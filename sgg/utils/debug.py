@@ -29,3 +29,21 @@ def assert_super_batch(batch: dict, n_critic: int, batch_size: int) -> None:
     chex.assert_type(batch["triples"], np.int32)
     if data_key == "images":
         chex.assert_type(batch[data_key], np.uint8)
+
+
+def host_rss_gb() -> float:
+    """Current process resident set size in GB (0.0 if unreadable).
+
+    Observability for the host-RSS watchdog (config.py host_rss_exit_gb):
+    this machine's relay PJRT client retains host staging for every
+    host→device transfer, so long runs with ongoing uploads grow RSS
+    without bound.
+    """
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0

@@ -51,3 +51,18 @@ def test_short_training_learns_and_stays_finite(hard):
     assert np.mean(d_hist[-10:]) < 0.8 * np.mean(d_hist[:5]), (
         f"critic failed to learn: {d_hist[:5]} -> {d_hist[-10:]}"
     )
+
+
+def test_host_rss_watchdog_handover_and_resume(tmp_path):
+    """host_rss_exit_gb: trainer checkpoints and exits 75 at the first
+    checkpoint boundary over the limit; a relaunch auto-resumes and
+    finishes. Guards the supervised-relaunch contract that long runs on
+    this machine's leaky relay client depend on (config.py rationale)."""
+    from sgg.cli.train import main
+
+    wd = str(tmp_path / "wd")
+    args = ["--config", "smoke", "--workdir", wd, "--platform", "cpu",
+            "--set", "train.checkpoint_every=5", "--set", "train.total_steps=20"]
+    rc = main(args + ["--set", "train.host_rss_exit_gb=0.0001"])
+    assert rc == 75
+    assert main(args) == 0
