@@ -271,30 +271,45 @@ def main(argv=None) -> int:
                 ips = scalars.get("images_per_sec_per_chip")
                 ips_s = f" img/s/chip={ips:.1f}" if ips else ""
                 print(f"[sgg.train] step {step}: {msg}{ips_s}", flush=True)
-            if step % cfg.train.checkpoint_every == 0 or step == cfg.train.total_steps:
+            at_ckpt = (
+                step % cfg.train.checkpoint_every == 0
+                or step == cfg.train.total_steps
+            )
+            if at_ckpt:
                 ckpt.save(
                     state,
                     data_state=grain_it.get_state() if grain_it else None,
                 )
-                # Host-RSS watchdog (config.py host_rss_exit_gb): the state
-                # is safely checkpointed right above, so hand over to the
-                # supervisor BEFORE the host OOM killer SIGKILLs us (which
-                # would lose up to checkpoint_every steps and can wedge the
-                # relay terminal).
-                limit = cfg.train.host_rss_exit_gb
-                if limit > 0 and step < cfg.train.total_steps:
-                    from sgg.utils.debug import host_rss_gb
+            # Host-RSS watchdog (config.py host_rss_exit_gb): hand over to
+            # the supervisor BEFORE the host OOM killer SIGKILLs us (which
+            # loses up to checkpoint_every steps and can wedge the relay
+            # terminal). Checked at EVERY log boundary, not just checkpoint
+            # boundaries: a wedged relay op leaked host RSS at line rate
+            # (~33 MB/s ≈ 34 GB in 17 min) between two checkpoints once,
+            # sailing straight past the limit while the coarse check slept.
+            limit = cfg.train.host_rss_exit_gb
+            if (
+                limit > 0
+                and step < cfg.train.total_steps
+                and (at_ckpt or step % cfg.train.log_every == 0)
+            ):
+                from sgg.utils.debug import host_rss_gb
 
-                    rss = host_rss_gb()
-                    if rss > limit:
-                        print(
-                            f"[sgg.train] host RSS {rss:.1f} GB > "
-                            f"{limit:.0f} GB limit — checkpointed at step "
-                            f"{step}, exiting 75 for supervised relaunch",
-                            flush=True,
+                rss = host_rss_gb()
+                if rss > limit:
+                    if not at_ckpt:
+                        ckpt.save(
+                            state,
+                            data_state=grain_it.get_state() if grain_it else None,
                         )
-                        ckpt.close()
-                        return 75
+                    print(
+                        f"[sgg.train] host RSS {rss:.1f} GB > "
+                        f"{limit:.0f} GB limit — checkpointed at step "
+                        f"{step}, exiting 75 for supervised relaunch",
+                        flush=True,
+                    )
+                    ckpt.close()
+                    return 75
     finally:
         _restore_handlers()
     ckpt.close()

@@ -66,3 +66,22 @@ def test_host_rss_watchdog_handover_and_resume(tmp_path):
     rc = main(args + ["--set", "train.host_rss_exit_gb=0.0001"])
     assert rc == 75
     assert main(args) == 0
+
+
+def test_host_rss_watchdog_fires_at_log_boundary(tmp_path):
+    """The watchdog must not wait for a checkpoint boundary: a wedged relay
+    op once leaked host RSS at line rate between two checkpoints (BASELINE.md
+    round 3). With checkpoint_every out of reach, the limit trips at the
+    first LOG boundary, saves an off-cycle checkpoint there, and exits 75."""
+    import os
+
+    from sgg.cli.train import main
+
+    wd = str(tmp_path / "wd")
+    args = ["--config", "smoke", "--workdir", wd, "--platform", "cpu",
+            "--set", "train.log_every=3", "--set", "train.checkpoint_every=1000",
+            "--set", "train.total_steps=20"]
+    rc = main(args + ["--set", "train.host_rss_exit_gb=0.0001"])
+    assert rc == 75
+    assert os.path.isdir(os.path.join(wd, "checkpoints", "3"))  # log step, not ckpt cycle
+    assert main(args) == 0  # relaunch resumes from step 3 and finishes
