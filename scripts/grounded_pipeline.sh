@@ -60,6 +60,10 @@ while :; do
     --set data.rotation_min_steps=1000 \
     --set train.host_rss_exit_gb=95
   rc=$?
+  # The relay client can abort in its C++ teardown AFTER training completed
+  # and checkpointed (observed: "done at step 100000" then SIGABRT in a
+  # destructor). Judge success by the final checkpoint, not the exit code.
+  [ -d "$D/run_grounded/checkpoints/$STEPS" ] && { rc=0; break; }
   [ "$rc" -eq 75 ] || break
   log "stage 4: RSS handover — relaunching trainer (auto-resume)"
   sleep 60
