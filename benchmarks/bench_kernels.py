@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from benchmarks.common import emit, time_marginal_scan
+from benchmarks.common import emit, time_marginal_scan, time_marginal_scan_io
 from sgg.kernels import conv2d_fused, flash_attention
 from sgg.kernels.conv import conv2d_reference
 from sgg.kernels.flash_attention import attention_reference
@@ -47,10 +47,12 @@ def bench_conv(B=32, HW=56, C=64, K=3, dtype=jnp.bfloat16):
     flops = 2 * B * HW * HW * K * K * C * C
 
     t_fused = time_marginal_scan(
-        lambda c: conv2d_fused(c, w, bias=bias, relu=True, impl="pallas"), x
+        lambda c: conv2d_fused(c, w, bias=bias, relu=True, impl="pallas"), x,
+        n1=20, n2=120,
     )
     t_ref = time_marginal_scan(
-        lambda c: conv2d_reference(c, w, bias=bias, relu=True), x
+        lambda c: conv2d_reference(c, w, bias=bias, relu=True), x,
+        n1=20, n2=120,
     )
     emit("fused_conv_relu_tflops", flops / t_fused / 1e12, "TFLOP/s",
          shape=f"{B}x{HW}x{HW}x{C}", xla_ref_tflops=round(flops / t_ref / 1e12, 3))
@@ -98,11 +100,11 @@ def bench_conv_1x1(dtype=jnp.bfloat16):
         bias = jnp.asarray(r.randn(Cout), jnp.float32)
         Ho = -(-HW // s)
         flops = 2 * B * Ho * Ho * Cin * Cout
-        t_p = time_marginal_scan(
+        t_p = time_marginal_scan_io(
             lambda c: conv2d_fused(c, w, bias=bias, stride=s, relu=True,
                                    impl="pallas"), x, n1=20, n2=220,
         )
-        t_x = time_marginal_scan(
+        t_x = time_marginal_scan_io(
             lambda c: conv2d_reference(c, w, bias=bias, stride=s, relu=True),
             x, n1=20, n2=220,
         )
@@ -125,7 +127,7 @@ def bench_conv_s2(dtype=jnp.bfloat16):
         bias = jnp.asarray(r.randn(Cout), jnp.float32)
         Ho = -(-HW // s)
         flops = 2 * B * Ho * Ho * K * K * Cin * Cout
-        t_x = time_marginal_scan(
+        t_x = time_marginal_scan_io(
             lambda c: conv2d_reference(c, w, bias=bias, stride=s, relu=True),
             x, n1=20, n2=120,
         )

@@ -57,5 +57,22 @@ def time_marginal_scan(fn, init, n1: int = 4, n2: int = 24) -> float:
     return max((t_2 - t_1) / (n2 - n1), 1e-12)
 
 
+def time_marginal_scan_io(fn, init, n1: int = 4, n2: int = 24) -> float:
+    """Marginal seconds/iteration for a SHAPE-CHANGING ``fn`` (Cin≠Cout,
+    strided convs, ...): the scan carries the INPUT and re-derives it as
+    ``x * (1 + eps·mean(fn(x)))`` so each iteration serially depends on the
+    previous op's output (no DCE, no pipelining across iterations) while the
+    extra work is one elementwise pass — negligible next to a matmul/conv.
+    eps=1e-30 keeps the carry numerically identical (1 + 1e-30 rounds to 1
+    in every float dtype used here) without being a foldable constant."""
+
+    def wrap(c):
+        y = fn(c)
+        scale = 1 + 1e-30 * jnp.mean(y.astype(jnp.float32))
+        return c * scale.astype(c.dtype)
+
+    return time_marginal_scan(wrap, init, n1=n1, n2=n2)
+
+
 def emit(metric: str, value: float, unit: str, **extra) -> None:
     print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit, **extra}))
