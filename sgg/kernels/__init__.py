@@ -12,9 +12,10 @@ the same code path is testable on CPU.
 
 from sgg.kernels.matmul import fused_matmul
 from sgg.kernels.conv import conv2d_fused, fold_batchnorm
-from sgg.kernels.flash_attention import flash_attention
+from sgg.kernels.flash_attention import attention, flash_attention
 
 __all__ = [
+    "attention",
     "fused_matmul",
     "conv2d_fused",
     "fold_batchnorm",

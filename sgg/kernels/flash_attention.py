@@ -272,3 +272,21 @@ def _fa_bwd(scale, block_q, block_k, res, g):
 
 
 flash_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def attention(q, k, v, scale=None, impl: str = "auto"):
+    """Routed attention: ``impl`` = 'flash' | 'xla' | 'auto'.
+
+    'auto' routes BY MEASUREMENT, like conv2d_fused's 'auto' (conv.py):
+    on v5e bf16 at [B,H,S,64] the flash kernel wins 74.0 vs 15.3 TFLOP/s
+    at S=1024 but LOSES 20.1 vs 52.5 at S=196 (BASELINE.md round-3 kernel
+    sweep) — at short S the whole score matrix fits one fused XLA kernel
+    and the online-softmax recurrence is pure overhead. Crossover is
+    between 196 and 1024; 512 splits it (block sizes clamp to S anyway,
+    so ≥512 keeps at least one full 512-row tile per program).
+    """
+    if impl == "auto":
+        impl = "flash" if q.shape[2] >= 512 else "xla"
+    if impl == "flash":
+        return flash_attention(q, k, v, scale)
+    return attention_reference(q, k, v, scale)

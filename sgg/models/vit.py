@@ -2,9 +2,11 @@
 
 BASELINE.json:10: "ViT-B/16 encoder + transformer triple decoder with Pallas
 flash-attention over patch tokens". 224px / 16 → 196 patch tokens of width
-768; 12 pre-LN transformer blocks, 12 heads. Self-attention over the patch
-axis routes through the blockwise flash kernel when ``use_pallas=True``
-(SURVEY.md §5 "the long-sequence axis is the ViT patch axis").
+768; 12 pre-LN transformer blocks, 12 heads. With ``use_pallas=True`` the
+patch-axis self-attention goes through the measured flash/XLA auto-router
+(``sgg.kernels.flash_attention.attention``): XLA at the B/16 patch length,
+the blockwise flash kernel once S ≥ 512 (SURVEY.md §5 "the long-sequence
+axis is the ViT patch axis").
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ from typing import Callable
 import flax.linen as nn
 import jax.numpy as jnp
 
-from sgg.kernels.flash_attention import attention_reference, flash_attention
+from sgg.kernels.flash_attention import attention, attention_reference
 
 
 class MultiHeadSelfAttention(nn.Module):
@@ -44,7 +46,10 @@ class MultiHeadSelfAttention(nn.Module):
         if self.attn_fn is not None:
             attend = self.attn_fn
         else:
-            attend = flash_attention if self.use_pallas else attention_reference
+            # 'auto' routes flash-vs-XLA by the measured S crossover
+            # (flash_attention.attention docstring) — at the B/16 patch
+            # length (196) that is XLA; flash takes over at S ≥ 512.
+            attend = attention if self.use_pallas else attention_reference
         o = attend(q, k, v)  # [B, H, S, D]
         o = o.transpose(0, 2, 1, 3).reshape(B, S, E)
         return nn.Dense(E, name="out", **kw)(o)

@@ -206,3 +206,26 @@ def test_conv_1x1_matmul_route(stride, impl):
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_attention_auto_routing():
+    """attention(impl='auto') routes by the measured S crossover (XLA below
+    512, flash at/above) and both routes match the reference numerically."""
+    from sgg.kernels import attention
+
+    r = np.random.RandomState(12)
+    for s in (196, 512):
+        q = jnp.asarray(r.randn(1, 2, s, 32), jnp.float32)
+        k = jnp.asarray(r.randn(1, 2, s, 32), jnp.float32)
+        v = jnp.asarray(r.randn(1, 2, s, 32), jnp.float32)
+        got = attention(q, k, v, impl="auto")
+        want = attention_reference(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+    # Routing is observable through the jaxpr: flash lowers to a Pallas
+    # call, the XLA route to plain einsum/softmax ops.
+    short = str(jax.make_jaxpr(lambda a, b, c: attention(a, b, c))(q[:, :, :196], k[:, :, :196], v[:, :, :196]))
+    long = str(jax.make_jaxpr(lambda a, b, c: attention(a, b, c))(q, k, v))
+    assert "pallas_call" not in short
+    assert "pallas_call" in long
