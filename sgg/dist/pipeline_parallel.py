@@ -8,8 +8,9 @@ every stage works on a different microbatch — the classic skewed schedule
 no dynamic shapes).
 
 The stage body must be shape-preserving (layer-block pipelines — the usual
-case). Params are stacked [n_stages, …] and sharded over the axis so each
-device holds exactly its stage's slice.
+case). Params are stacked [n_stages, …], enter the shard_map replicated,
+and each device dynamic-slices its own stage (see _pipeline_local for the
+measured reason the stack is NOT axis-sharded at the boundary).
 """
 
 from __future__ import annotations
@@ -23,16 +24,39 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _pipeline_local(
-    params,  # local stage params [1, ...] (sharded stack)
-    x,  # microbatches [n_micro, mb, ...] (replicated)
+    params,  # stacked stage params [n_stages, ...] (replicated)
+    x,  # local batch shard [B_local, ...]
     *,
     stage_fn: Callable,
     axis_name: str,
+    n_micro: int,
 ):
     n_stages = jax.lax.axis_size(axis_name)
     stage = jax.lax.axis_index(axis_name)
-    n_micro = x.shape[0]
-    local_params = jax.tree.map(lambda p: p[0], params)
+    # Microbatch split happens HERE, on the local shard — a pure-local
+    # reshape. Splitting the GLOBAL batch outside the shard_map made GSPMD
+    # reshard a data-sharded dim through its split ([B]→[n_micro, mb] with
+    # mb over 'data' moves rows between data devices): 20 tiny all-to-alls
+    # per step on the 3-axis mesh, the same CPU-rendezvous hazard as the
+    # params case below. Row→microbatch assignment becomes per-device
+    # interleaved instead of globally contiguous, which is invisible to a
+    # per-row stage_fn: outputs return to their original rows via the
+    # inverse local reshape.
+    x = x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
+    # Each device slices ITS stage's params out of the replicated stack —
+    # a local dynamic-slice by axis_index, zero collectives. The obvious
+    # alternative (in_specs=P(axis) so each device holds only its slice)
+    # makes GSPMD reshard the freshly-stacked, effectively-replicated
+    # params replicated→tiled: measured on the 8-device CPU mesh it emits
+    # 473 two-party all-to-alls of f32[1,1,384] per train step (one per
+    # stacked leaf per consumer), which is latency-poison on real ICI and
+    # reproducibly deadlocks XLA's in-process CPU rendezvous (40 s abort,
+    # rendezvous.cc:127 — NOTES.md). Params here are modest (ViT-B blocks
+    # ≈ 340 MB f32), so replicated-in + local slice is the right trade.
+    local_params = jax.tree.map(
+        lambda p: jax.lax.dynamic_index_in_dim(p, stage, 0, keepdims=False),
+        params,
+    )
 
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
     carry = jnp.zeros_like(x[0])  # activation arriving from the left
@@ -65,7 +89,8 @@ def _pipeline_local(
     # would need a second channel (the work channel is full every tick),
     # costing the same |out| again, so psum is kept.
     out = jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out))
-    return jax.lax.psum(out, axis_name)
+    out = jax.lax.psum(out, axis_name)
+    return out.reshape(out.shape[0] * out.shape[1], *out.shape[2:])
 
 
 def pipeline_apply(
@@ -113,28 +138,34 @@ def pipeline_apply(
             f"sequence dim {x.shape[1]} not divisible by mesh axis "
             f"{seq_axis!r} of size {mesh.shape[seq_axis]}"
         )
-    xm = x.reshape(n_micro, mb, *x.shape[1:])
-
-    # [n_micro, mb, S, ...]: mb over batch_axis, S over seq_axis (if given).
-    x_spec = P(None, batch_axis, seq_axis) if seq_axis else (
-        P(None, batch_axis) if batch_axis else P()
+    # [B, S, ...]: B over batch_axis, S over seq_axis (if given). The
+    # microbatch split is LOCAL, inside _pipeline_local — splitting the
+    # global batch out here would shard the microbatch dim through a
+    # reshape, which GSPMD implements by moving rows across batch_axis
+    # devices (measured: 20 all-to-alls per train step on the 3-axis
+    # mesh; see _pipeline_local).
+    x_spec = P(batch_axis, seq_axis) if seq_axis else (
+        P(batch_axis) if batch_axis else P()
     )
     fn = jax.shard_map(
-        partial(_pipeline_local, stage_fn=stage_fn, axis_name=axis_name),
+        partial(
+            _pipeline_local, stage_fn=stage_fn, axis_name=axis_name,
+            n_micro=n_micro,
+        ),
         mesh=mesh,
-        in_specs=(P(axis_name), x_spec),
+        in_specs=(P(), x_spec),
         out_specs=x_spec,
         check_vma=False,
     )
-    out = fn(stacked_params, xm)
-    return out.reshape(B, *x.shape[1:])
+    return fn(stacked_params, x)
 
 
 def stack_layer_params(params: dict, prefix: str, num_layers: int, n_stages: int):
     """``{prefix}{i}`` subtrees → one stacked pytree [n_stages, L/n, …].
 
-    The stack is cheap under GSPMD when the result is consumed with a
-    P(axis) stage sharding — each device materializes only its stage slice.
+    The stack stays replicated (local concatenate, no resharding);
+    pipeline_apply's shard_map slices per-stage locally — see
+    _pipeline_local for why an axis-sharded stack is measurably worse.
     """
     if num_layers % n_stages:
         raise ValueError(f"{num_layers} layers not divisible into {n_stages} stages")
