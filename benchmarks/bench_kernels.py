@@ -151,7 +151,7 @@ def bench_matmul(dtype=jnp.bfloat16):
              shape=f"{M}x{K}x{K}", xla_ref_tflops=round(flops / t_x / 1e12, 3))
 
 
-def bench_fused_decode(V=1024, B=32, dtype=jnp.bfloat16):
+def bench_fused_decode(V=1024, B=32, dtype=jnp.bfloat16, n1=20, n2=220):
     """Fused one-program decode vs the XLA op chain at vg1k decoder dims
     (VERDICT r2 item 2's measured table). The decode is latency-bound, so
     the metric is µs per full 3-step decode, not TFLOP/s."""
@@ -184,11 +184,11 @@ def bench_fused_decode(V=1024, B=32, dtype=jnp.bfloat16):
 
     t_fused = time_marginal_scan(
         chain(lambda c: fused_decode(params, c, z, g, tau=0.5, hard=True)),
-        feats, n1=20, n2=220,
+        feats, n1=n1, n2=n2,
     )
     t_ref = time_marginal_scan(
         chain(lambda c: decode_reference(params, c, z, g, tau=0.5, hard=True)),
-        feats, n1=20, n2=220,
+        feats, n1=n1, n2=n2,
     )
     emit("fused_decode_us", t_fused * 1e6, "us/decode",
          shape=f"B{B}xV{V}", xla_chain_us=round(t_ref * 1e6, 1),
