@@ -109,6 +109,8 @@ def _conv_kernel(
     # bi alone deadlocks on TPU for odd n_bi with nN>1 (e.g. the
     # [2,14,14,512]→512 parity shape: n_bi=1, nN=2) — the next sweep
     # waits on sems[slot] that the wrap prefetch never signals.
+    # Verified ON-CHIP post-fix (round 3): both odd-n_bi parity shapes
+    # run to completion at rel err ≤1.5e-3 bf16 — no deadlock.
     step = j * n_bi + bi
     slot = jax.lax.rem(step, 2)
 
