@@ -33,6 +33,7 @@ from sgg.cli.common import add_platform_arg, apply_platform
 from sgg.data.vg import (
     build_vocab_from_relationships,
     filter_and_encode,
+    parse_entity_boxes,
     parse_relationships,
     train_test_split,
 )
@@ -60,6 +61,12 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--spatial", default="auto", choices=["auto", "on", "off"],
+                   help="per-cell owner supervision from entity boxes "
+                        "(grounded corpus / real VG): teaches what+WHERE, "
+                        "which geometric predicates need. auto = on iff the "
+                        "relationships carry boxes")
+    p.add_argument("--spatial-weight", type=float, default=1.0)
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -68,7 +75,19 @@ def main(argv=None) -> int:
     if not os.path.exists(rel_path):
         print(f"[sgg.pretrain] missing {rel_path}", file=sys.stderr)
         return 1
-    images = parse_relationships(rel_path)
+    with open(rel_path) as f:  # load once — parsed twice (triples + boxes)
+        rel_obj = json.load(f)
+    images = parse_relationships(rel_obj)
+    boxes = (
+        parse_entity_boxes(rel_obj) if args.spatial != "off" else {}
+    )
+    del rel_obj
+    have_boxes = any(boxes.values())
+    spatial = args.spatial == "on" or (args.spatial == "auto" and have_boxes)
+    if args.spatial == "on" and not have_boxes:
+        print("[sgg.pretrain] --spatial on but no entity boxes in JSON",
+              file=sys.stderr)
+        return 1
     if args.vocab:
         vocab = Vocab.load(args.vocab)
     else:
@@ -90,7 +109,9 @@ def main(argv=None) -> int:
 
     from sgg.data.extract import load_batch, resolve_image_paths
     from sgg.train.pretrain import (
+        cell_labels,
         evaluate_presence,
+        feature_grid,
         make_pretrain_state,
         make_pretrain_step,
         multi_hot_labels,
@@ -116,6 +137,24 @@ def main(argv=None) -> int:
         [enc[pos[i]] for i in train_ids], len(vocab)
     )
     test_labels = multi_hot_labels([enc[pos[i]] for i in test_ids], len(vocab))
+    cells_host = test_cells = None
+    if spatial:
+        from PIL import Image
+
+        img_wh = Image.open(train_paths[0]).size  # corpus-constant (w, h)
+        grid = feature_grid(args.encoder, args.image_size)
+        cells_host = cell_labels(
+            [boxes.get(i, []) for i in train_ids], vocab, grid, img_wh
+        )
+        test_cells = cell_labels(
+            [boxes.get(i, []) for i in test_ids], vocab, grid, img_wh
+        )
+        fg = float((cells_host > 0).mean())
+        print(
+            f"[sgg.pretrain] spatial task ON: {grid}x{grid} cells, "
+            f"{fg:.0%} foreground, image {img_wh[0]}x{img_wh[1]}",
+            flush=True,
+        )
     print(
         f"[sgg.pretrain] decoded {len(train_paths)} images in "
         f"{time.time() - t0:.0f}s ({imgs_host.nbytes / 1e9:.2f} GB)",
@@ -126,6 +165,7 @@ def main(argv=None) -> int:
 
     images_d = device_put_features(imgs_host)
     labels_d = device_put_features(labels_host)
+    cells_d = device_put_features(cells_host) if spatial else None
     try:  # diagnostic: confirm the in-place upload peaked near store size
         ms = jax.devices()[0].memory_stats() or {}
         print(
@@ -143,32 +183,45 @@ def main(argv=None) -> int:
         use_pallas=jax.default_backend() == "tpu", dtype=dtype,
         seed=args.seed,
     )
-    step_fn = make_pretrain_step(model, tx, args.batch_size, seed=args.seed)
+    step_fn = make_pretrain_step(
+        model, tx, args.batch_size, seed=args.seed, spatial=spatial,
+        spatial_weight=args.spatial_weight,
+    )
 
     n = len(train_paths)
     t0 = time.time()
     metrics = {}
     for i in range(args.steps):
-        params, opt_state, metrics = step_fn(
-            params, opt_state, images_d, labels_d, n, i
-        )
+        if spatial:
+            params, opt_state, metrics = step_fn(
+                params, opt_state, images_d, labels_d, cells_d, n, i
+            )
+        else:
+            params, opt_state, metrics = step_fn(
+                params, opt_state, images_d, labels_d, n, i
+            )
         if (i + 1) % args.log_every == 0 or i + 1 == args.steps:
             loss = float(metrics["loss"])
             rec = float(metrics["presence_recall"])
+            cell = (
+                f" cell_acc={float(metrics['cell_acc']):.3f}" if spatial else ""
+            )
             rate = (i + 1) * args.batch_size / (time.time() - t0)
             print(
                 f"[sgg.pretrain] step {i + 1}: loss={loss:.4f} "
-                f"presence_recall={rec:.3f} img/s={rate:.0f}",
+                f"presence_recall={rec:.3f}{cell} img/s={rate:.0f}",
                 flush=True,
             )
 
     report = evaluate_presence(
-        model, params, test_imgs, test_labels, batch_size=args.batch_size
+        model, params, test_imgs, test_labels, batch_size=args.batch_size,
+        cells=test_cells,
     )
+    cell = f" cell_acc={report['cell_acc']:.3f}" if spatial else ""
     print(
         f"[sgg.pretrain] held-out: loss={report['loss']:.4f} "
         f"presence_recall={report['presence_recall']:.3f} "
-        f"precision@k={report['precision_at_k']:.3f}",
+        f"precision@k={report['precision_at_k']:.3f}{cell}",
         flush=True,
     )
 
@@ -183,6 +236,7 @@ def main(argv=None) -> int:
                 "image_size": args.image_size,
                 "steps": args.steps,
                 "train_images": n,
+                "spatial": spatial,
                 "held_out": report,
             },
             f,

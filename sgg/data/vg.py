@@ -72,6 +72,48 @@ def parse_relationships(path_or_obj) -> list[ImageTriples]:
     return out
 
 
+def parse_entity_boxes(path_or_obj) -> dict[int, list[tuple[str, tuple]]]:
+    """image_id → deduped [(name, (x, y, w, h)), ...] for entities that carry
+    VG box fields.
+
+    The grounded synthetic corpus (`sgg/data/synthetic.py grounded_vg_entry`)
+    and real VG both record subject/object boxes; images whose entities have
+    no box fields map to an empty list. Names are normalized exactly as in
+    :func:`parse_relationships`, so vocab ids line up.
+    """
+    if isinstance(path_or_obj, str):
+        with open(path_or_obj) as f:
+            data = json.load(f)
+    elif hasattr(path_or_obj, "read"):
+        data = json.load(path_or_obj)
+    else:
+        data = path_or_obj
+
+    def box_of(ent: dict) -> tuple | None:
+        if all(k in ent for k in ("x", "y", "w", "h")):
+            return (int(ent["x"]), int(ent["y"]), int(ent["w"]), int(ent["h"]))
+        return None
+
+    out: dict[int, list[tuple[str, tuple]]] = {}
+    for entry in data:
+        image_id = int(entry.get("image_id", entry.get("id", -1)))
+        seen: set = set()
+        ents: list[tuple[str, tuple]] = []
+        for rel in entry.get("relationships", []):
+            for side in ("subject", "object"):
+                ent = rel.get(side, {})
+                name = _entity_name(ent)
+                box = box_of(ent)
+                if name is None or box is None:
+                    continue
+                key = (name, box)
+                if key not in seen:
+                    seen.add(key)
+                    ents.append(key)
+        out[image_id] = ents
+    return out
+
+
 def build_vocab_from_relationships(
     images: Iterable[ImageTriples],
     max_objects: int | None = None,

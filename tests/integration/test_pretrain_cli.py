@@ -55,3 +55,30 @@ def test_pretrain_then_preprocess(corpus, tmp_path_factory, capsys):
     # 32px through VGG → 2×2 conv5 grid = 4 regions of 512
     assert shard["features"].shape[1:] == (4, 512)
     assert np.isfinite(shard["features"]).all()
+
+
+def test_pretrain_spatial_auto_on_grounded(tmp_path_factory, capsys):
+    """On a grounded corpus (boxes in the JSON) --spatial auto switches the
+    per-cell owner task on and reports cell accuracy end-to-end."""
+    from sgg.cli import pretrain as cli_pretrain
+    from sgg.data.synthetic import write_synthetic_vg_corpus
+
+    d = tmp_path_factory.mktemp("gcorpus")
+    write_synthetic_vg_corpus(
+        str(d), num_images=20, seed=2, max_rels=4,
+        vocab_objects=None, vocab_predicates=None, width=96, height=96,
+        log_every=0, grounded=True,
+    )
+    enc_dir = tmp_path_factory.mktemp("genc")
+    rc = cli_pretrain.main([
+        "--vg-dir", str(d), "--image-dir", os.path.join(str(d), "images"),
+        "--out-dir", str(enc_dir), "--steps", "6", "--batch-size", "4",
+        "--image-size", "32", "--dtype", "float32", "--log-every", "3",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "spatial task ON" in out
+    assert "cell_acc=" in out
+    meta = json.load(open(enc_dir / "pretrain_meta.json"))
+    assert meta["spatial"] is True
+    assert "cell_acc" in meta["held_out"]

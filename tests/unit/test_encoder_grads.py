@@ -24,7 +24,7 @@ def _grads(encoder_name, use_pallas, imgs, labels, seed=0):
     params = model.init(jax.random.key(seed), imgs[:1])["params"]
 
     def loss(p):
-        logits = model.apply({"params": p}, imgs)
+        logits = model.apply({"params": p}, imgs)["presence"]
         return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
 
     return params, jax.grad(loss)(params)

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 
 from sgg.train.pretrain import (
     PresenceModel,
+    cell_labels,
+    feature_grid,
     load_params_npz,
     make_pretrain_state,
     make_pretrain_step,
@@ -111,5 +113,81 @@ def test_presence_model_encoder_params_extractable(tiny_corpus, tmp_path):
     # and matches applying the full model's encoder submodule
     full = PresenceModel(encoder_name="vgg19", num_classes=len(vocab),
                          image_size=32)
-    logits = full.apply({"params": params}, jnp.asarray(imgs[:2]))
-    assert logits.shape == (2, len(vocab))
+    out = full.apply({"params": params}, jnp.asarray(imgs[:2]))
+    assert out["presence"].shape == (2, len(vocab))
+    assert out["regions"].shape == (2, 4, len(vocab))
+
+
+# ------------------------------------------------------- spatial supervision
+
+
+def _mini_vocab():
+    from collections import Counter
+
+    from sgg.data.vocab import Vocab
+
+    return Vocab.build(Counter({"dog": 5, "cat": 4}), Counter({"on": 3}))
+
+
+def test_cell_labels_owner_and_background():
+    """Cell label = vocab id of the SMALLEST box covering the cell center
+    (draw order of render_grounded_image); uncovered cells stay 0."""
+    v = _mini_vocab()
+    dog, cat = v.id("dog"), v.id("cat")
+    # 4x4 grid on a 40x40 image → cell centers at 5, 15, 25, 35.
+    ents = [
+        ("dog", (0, 0, 40, 40)),    # covers everything
+        ("cat", (0, 0, 12, 12)),    # smaller, on top: owns cell (0, 0)
+    ]
+    lab = cell_labels([ents, []], v, grid=4, image_wh=(40, 40))
+    assert lab.shape == (2, 16)
+    g = lab[0].reshape(4, 4)
+    assert g[0, 0] == cat
+    assert (g.ravel()[1:] == dog).all()
+    assert (lab[1] == 0).all()
+
+
+def test_cell_labels_skips_unknown_and_scales_axes():
+    v = _mini_vocab()
+    # Non-square image: box spans left half in x, full in y.
+    ents = [("dog", (0, 0, 50, 80)), ("zebra", (0, 0, 100, 80))]
+    lab = cell_labels([ents], v, grid=2, image_wh=(100, 80))
+    g = lab[0].reshape(2, 2)
+    assert (g[:, 0] == v.id("dog")).all()
+    assert (g[:, 1] == 0).all()  # zebra is out-of-vocab → background
+
+
+def test_feature_grid():
+    assert feature_grid("vgg19", 224) == 14
+    assert feature_grid("resnet50", 224) == 7
+    assert feature_grid("vit_b16", 224) == 14
+
+
+def test_spatial_pretrain_step_learns(tiny_corpus):
+    """The spatial CE drives non-background cell accuracy upward on a task
+    where presence alone carries no position signal."""
+    imgs, labels, vocab = tiny_corpus
+    model, params, opt_state, tx = make_pretrain_state(
+        "vgg19", len(vocab), image_size=32, lr=3e-4, dtype=jnp.float32, seed=0
+    )
+    step = make_pretrain_step(
+        model, tx, batch_size=4, seed=0, spatial=True, spatial_weight=1.0
+    )
+    n, grid = imgs.shape[0], 2  # 32px vgg → 2x2 regions
+    rng = np.random.RandomState(1)
+    # Synthetic owner labels correlated with the images' mean color per
+    # quadrant would need real boxes; here we only smoke-test the step and
+    # its metrics plumbing on random-but-fixed labels.
+    cells = rng.randint(0, len(vocab), size=(n, grid * grid)).astype(np.int32)
+    images_d, labels_d = jnp.asarray(imgs), jnp.asarray(labels)
+    cells_d = jnp.asarray(cells)
+    losses, accs = [], []
+    for i in range(24):
+        params, opt_state, m = step(
+            params, opt_state, images_d, labels_d, cells_d, n, i
+        )
+        losses.append(float(m["loss"]))
+        accs.append(float(m["cell_acc"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
+    assert accs[-1] >= accs[0]  # memorizable fixed labels → acc climbs
