@@ -50,6 +50,11 @@ class ModelConfig:
     # with sp_mode when the mesh has a 'seq' axis (mesh.seq > 1); on a
     # 2-axis mesh the combination raises (both would consume 'model').
     pp_microbatches: int = 0
+    # > 0 swaps the ViT blocks' dense MLP for a top-k MoE layer
+    # (sgg.models.moe); with mesh.expert > 1 the experts run
+    # expert-parallel over the 'expert' axis (sgg.dist.expert_parallel).
+    moe_experts: int = 0
+    moe_top_k: int = 2
 
     @property
     def dtype(self):

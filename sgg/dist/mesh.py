@@ -24,9 +24,10 @@ MODEL_AXIS = "model"
 # stages on 'model' — the two no longer contend for one axis (round-2
 # weak #4).
 SEQ_AXIS = "seq"
-# Expert-parallel hook (SURVEY.md §2.2 EP row): no MoE in scope, but the
-# axis name is reserved so an expert dimension can be added to MeshSpec and
-# sharding rules without touching call sites.
+# Expert-parallel axis (SURVEY.md §2.2 EP row): reserved as a hook in
+# rounds 1–2, now a real tier — `MeshSpec.expert > 1` grows the axis and
+# `sgg.dist.expert_parallel.moe_forward_ep` runs MoE layers over it with
+# tokens sharded over ('data', 'expert') jointly (GShard layout).
 EXPERT_AXIS = "expert"
 
 
@@ -38,6 +39,9 @@ class MeshSpec:
     # and the GPipe pipeline compose on one mesh instead of contending for
     # the single 'model' axis.
     seq: int = 1
+    # >1 adds an 'expert' axis (between 'seq' and 'model') for MoE layers;
+    # outside MoE layers it acts as extra data parallelism.
+    expert: int = 1
 
 
 def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
@@ -54,30 +58,39 @@ def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
     n = len(devices)
     model = max(1, spec.model)
     seq = max(1, spec.seq)
+    expert = max(1, getattr(spec, "expert", 1))
+    fixed = seq * expert * model
     if spec.data > 0:
-        # Explicit sizes may select a sub-mesh (first data*seq*model devices).
+        # Explicit sizes may select a sub-mesh (first data*fixed devices).
         data = spec.data
-        if data * seq * model > n:
+        if data * fixed > n:
             raise ValueError(
-                f"mesh {data}x{seq}x{model} needs more than {n} devices"
+                f"mesh {data}x{seq}x{expert}x{model} needs more than "
+                f"{n} devices"
             )
-        devices = devices[: data * seq * model]
+        devices = devices[: data * fixed]
     else:
-        if n % (seq * model):
+        if n % fixed:
             raise ValueError(
-                f"seq*model axes {seq}*{model} do not divide device count {n}"
+                f"seq*expert*model axes {seq}*{expert}*{model} do not "
+                f"divide device count {n}"
             )
-        data = n // (seq * model)
+        data = n // fixed
     # Auto axis types → GSPMD propagation: the partitioner infers internal
     # shardings and inserts collectives from the in/out NamedShardings alone,
     # so model code stays mesh-agnostic. (This JAX defaults to Explicit axes,
-    # which instead demand per-op out_sharding annotations.)
+    # which instead demand per-op out_sharding annotations.) The optional
+    # axes only exist when asked for, so 2-axis consumers are unaffected.
+    shape, names = [data], [DATA_AXIS]
     if seq > 1:
-        shape, names = (data, seq, model), (DATA_AXIS, SEQ_AXIS, MODEL_AXIS)
-    else:
-        shape, names = (data, model), (DATA_AXIS, MODEL_AXIS)
+        shape.append(seq), names.append(SEQ_AXIS)
+    if expert > 1:
+        shape.append(expert), names.append(EXPERT_AXIS)
+    shape.append(model), names.append(MODEL_AXIS)
     auto = (jax.sharding.AxisType.Auto,) * len(shape)
-    return jax.make_mesh(shape, names, axis_types=auto, devices=devices)
+    return jax.make_mesh(
+        tuple(shape), tuple(names), axis_types=auto, devices=devices
+    )
 
 
 def batch_sharding(mesh: Mesh, leading_stacked: bool = True) -> NamedSharding:

@@ -21,7 +21,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sgg.dist.mesh import DATA_AXIS, MODEL_AXIS
+from sgg.dist.mesh import DATA_AXIS, EXPERT_AXIS, MODEL_AXIS
 
 # Parameter-name suffixes that carry a vocabulary dimension → TP targets.
 _TP_VOCAB_ROWS = ("token_embedding",)  # [V, E] — shard dim 0
@@ -57,6 +57,21 @@ def _tp_spec(names: list[str], shape: tuple[int, ...], mesh: Mesh) -> P | None:
     return None
 
 
+def _ep_spec(names: list[str], shape: tuple[int, ...], mesh: Mesh) -> P | None:
+    """Expert-parallel storage: MoE expert tensors (wi/wo [E, ..] and their
+    Adam moments — same path suffix) shard dim 0 over 'expert', matching the
+    shard_map in_specs of sgg.dist.expert_parallel so EP needs no gather.
+    The router stays replicated (it is tiny and every device routes)."""
+    if EXPERT_AXIS not in mesh.axis_names:
+        return None
+    n_e = mesh.shape[EXPERT_AXIS]
+    if n_e <= 1 or "moe" not in names:
+        return None
+    if names[-1] in ("wi", "wo") and shape and shape[0] % n_e == 0:
+        return P(EXPERT_AXIS, *([None] * (len(shape) - 1)))
+    return None
+
+
 def _fsdp_spec(shape: tuple[int, ...], mesh: Mesh, min_size: int) -> P | None:
     n_data = mesh.shape[DATA_AXIS]
     if n_data <= 1 or int(np.prod(shape)) < min_size:
@@ -87,8 +102,11 @@ def state_sharding(
     def rule(path, leaf):
         shape = tuple(leaf.shape)
         names = _path_names(path)
-        spec = None
-        if tp:
+        # EP first: expert tensors live on the 'expert' axis whenever the
+        # mesh has one (storage matches sgg.dist.expert_parallel's compute
+        # sharding), independent of the tp/fsdp switches.
+        spec = _ep_spec(names, shape, mesh)
+        if spec is None and tp:
             spec = _tp_spec(names, shape, mesh)
         if spec is None and fsdp and names and names[0] != "step":
             spec = _fsdp_spec(shape, mesh, fsdp_min_size)

@@ -31,12 +31,17 @@ def make_encoder(
     dtype: jnp.dtype = jnp.float32,
     attn_fn=None,
     image_size: int | None = None,
+    moe_experts: int = 0,
+    moe_top_k: int = 2,
+    moe_ep_mesh=None,
 ) -> nn.Module | None:
     """Returns the feature-extractor module, or None for 'precomputed'.
 
     ``attn_fn`` (ViT only): a (q,k,v)→o override — e.g. a ring/Ulysses
     sequence-parallel wrapper from ``sgg.dist.make_sp_attention``.
     ``image_size`` (ViT only): sizes the learned pos_embed; default 224.
+    ``moe_experts`` (ViT only): > 0 swaps each block's dense MLP for a
+    top-k MoE layer (sgg.models.moe; EP over a mesh 'expert' axis).
     """
     if name == "precomputed":
         return None
@@ -54,6 +59,7 @@ def make_encoder(
         patches = ((image_size or 224) // 16) ** 2
         return ViTB16Features(
             use_pallas=use_pallas, dtype=dtype, attn_fn=attn_fn,
-            num_patches=patches,
+            num_patches=patches, moe_experts=moe_experts,
+            moe_top_k=moe_top_k, moe_ep_mesh=moe_ep_mesh,
         )
     raise ValueError(f"unknown encoder {name!r}")

@@ -60,6 +60,12 @@ class TransformerBlock(nn.Module):
     mlp_ratio: int = 4
     use_pallas: bool = False
     attn_fn: "Callable | None" = None
+    # moe_experts > 0 swaps the dense MLP for a top-k MoE layer
+    # (sgg.models.moe). Applied to EVERY block so the stack stays
+    # homogeneous — pipeline staging stacks block params along a layer dim.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_ep_mesh: "object | None" = None  # Mesh with an 'expert' axis → EP
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -72,6 +78,15 @@ class TransformerBlock(nn.Module):
             name="attn", **kw,
         )(y)
         y = nn.LayerNorm(name="ln2", **kw)(x)
+        if self.moe_experts > 0:
+            from sgg.models.moe import MoEMLP
+
+            x = x + MoEMLP(
+                num_experts=self.moe_experts, top_k=self.moe_top_k,
+                mlp_ratio=self.mlp_ratio, ep_mesh=self.moe_ep_mesh,
+                name="moe", **kw,
+            )(y)
+            return x
         h = nn.Dense(x.shape[-1] * self.mlp_ratio, name="mlp1", **kw)(y)
         h = nn.gelu(h)
         x = x + nn.Dense(x.shape[-1], name="mlp2", **kw)(h)
@@ -96,6 +111,9 @@ class ViTB16Features(nn.Module):
     mlp_ratio: int = 4
     use_pallas: bool = False
     attn_fn: "Callable | None" = None
+    moe_experts: int = 0  # > 0: MoE MLP in every block (sgg.models.moe)
+    moe_top_k: int = 2
+    moe_ep_mesh: "object | None" = None  # Mesh with an 'expert' axis → EP
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     num_patches: int = 196  # (image_size / patch)² — 224px default
@@ -113,7 +131,9 @@ class ViTB16Features(nn.Module):
         self.blocks = [
             TransformerBlock(
                 self.num_heads, self.mlp_ratio, use_pallas=self.use_pallas,
-                attn_fn=self.attn_fn, name=f"block{i}", **kw,
+                attn_fn=self.attn_fn, moe_experts=self.moe_experts,
+                moe_top_k=self.moe_top_k, moe_ep_mesh=self.moe_ep_mesh,
+                name=f"block{i}", **kw,
             )
             for i in range(self.num_layers)
         ]

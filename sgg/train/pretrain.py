@@ -180,7 +180,9 @@ def make_pretrain_step(
     base = jax.random.key(seed)
 
     def loss_fn(params, imgs, labs, cells):
-        out = model.apply({"params": params}, imgs)
+        # mutable=["moe"]: collect MoE load-balance losses when the encoder
+        # is a MoE ViT (empty otherwise — no-op for dense encoders).
+        out, cols = model.apply({"params": params}, imgs, mutable=["moe"])
         logits = out["presence"]
         # Mean over classes and batch; positives are ~3% of classes, but the
         # task (distinct colors) is separable — plain BCE converges.
@@ -201,6 +203,9 @@ def make_pretrain_step(
             metrics["cell_acc"] = ((pred == cells) & fg).sum() / jnp.maximum(
                 fg.sum(), 1
             )
+        aux = jax.tree.leaves(cols.get("moe", {}))
+        if aux:  # Switch-style load balance, standard 0.01 weight
+            loss = loss + 0.01 * sum(aux) / len(aux)
         metrics["loss"] = loss
         return loss, metrics
 

@@ -98,12 +98,15 @@ def create_train_state(
     encoder = make_encoder(
         cfg.model.encoder, dtype=cfg.model.dtype,
         image_size=cfg.data.image_size,
+        moe_experts=cfg.model.moe_experts, moe_top_k=cfg.model.moe_top_k,
     )
     if encoder is not None and enc_params is None:
         img = jnp.zeros(
             (1, cfg.data.image_size, cfg.data.image_size, 3), cfg.model.dtype
         )
-        enc_params = encoder.init(r_enc, img)
+        # Keep only 'params' — MoE blocks sow an aux-loss scalar into a
+        # 'moe' collection at init, which has no place in the train state.
+        enc_params = {"params": encoder.init(r_enc, img)["params"]}
 
     return GANTrainState(
         step=jnp.zeros((), jnp.int32),

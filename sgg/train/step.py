@@ -88,10 +88,32 @@ def make_step_fn(
                 sp_mesh, mode=cfg.model.sp_mode,
                 seq_axis="seq" if "seq" in sp_mesh.axis_names else "model",
             )
+    # Expert parallelism: when the mesh carries an 'expert' axis and the
+    # ViT blocks run MoE MLPs, the experts execute over that axis via the
+    # shard_map all_to_all path (sgg.dist.expert_parallel). PP stages the
+    # blocks inside its own shard_map, which cannot nest EP's — that
+    # combination raises rather than silently replicating experts.
+    from sgg.dist.mesh import EXPERT_AXIS
+
+    moe_ep_mesh = None
+    if (
+        cfg.model.moe_experts > 0 and sp_mesh is not None
+        and EXPERT_AXIS in sp_mesh.axis_names
+    ):
+        if pp_on:
+            raise ValueError(
+                "pp_microbatches with expert-parallel MoE is unsupported: "
+                "the pipeline's shard_map cannot nest the expert-exchange "
+                "shard_map. Drop the 'expert' mesh axis (experts then run "
+                "data-parallel, replicated) or disable PP."
+            )
+        moe_ep_mesh = sp_mesh
     encoder = make_encoder(
         cfg.model.encoder, use_pallas=cfg.model.use_pallas,
         dtype=cfg.model.dtype, attn_fn=attn_fn,
         image_size=cfg.data.image_size,
+        moe_experts=cfg.model.moe_experts, moe_top_k=cfg.model.moe_top_k,
+        moe_ep_mesh=moe_ep_mesh,
     )
 
     def critic_apply(d_params, feats, triple):
