@@ -39,6 +39,8 @@ class SceneGraphGenerator:
             enc = make_encoder(
                 cfg.model.encoder, dtype=cfg.model.dtype,
                 image_size=cfg.data.image_size,
+                moe_experts=cfg.model.moe_experts,
+                moe_top_k=cfg.model.moe_top_k,
             )
 
             @jax.jit
