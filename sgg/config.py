@@ -104,9 +104,14 @@ class TrainConfig:
     total_steps: int = 100_000
     seed: int = 0
     # Gumbel-softmax temperature annealing: tau = max(min, tau0 * exp(-r*step))
+    # Default OFF (round 3): the +4% annealing win was measured with SOFT
+    # Gumbel samples (round 2); with the straight-through default below, tau
+    # only scales the BACKWARD softmax, and annealing it to 0.5 hurts —
+    # two-seed A/B at 10k steps, vg1k: 0.663/0.675 annealed vs 0.686/0.736
+    # fixed tau=1 (BASELINE.md round-3 "tau annealing re-run").
     tau0: float = 1.0
     tau_min: float = 0.5
-    tau_anneal: float = 1.4e-4
+    tau_anneal: float = 0.0
     # Straight-through (hard one-hot fwd, soft bwd) instead of relaxed
     # Gumbel samples. Measured True in round 2 on BOTH scales: soft fakes
     # live in the simplex interior while reals are vertices, so the WGAN
