@@ -102,3 +102,32 @@ def test_moe_mlp_module_and_aux():
     aux = sum(float(v) for v in leaves) / len(leaves)
     assert np.isfinite(aux) and aux > 0
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_moe_vit_pretrain_step():
+    """A MoE-ViT encoder trains through the pretrain step: the sown
+    load-balance losses are collected into the loss and grads reach the
+    router and expert tensors."""
+    import optax
+
+    from sgg.train.pretrain import make_pretrain_state, make_pretrain_step
+
+    rng = np.random.RandomState(4)
+    imgs = jnp.asarray(rng.randint(0, 255, (8, 32, 32, 3)), jnp.uint8)
+    labels = jnp.asarray((rng.rand(8, 12) > 0.7).astype(np.float32))
+    model, params, opt_state, tx = make_pretrain_state(
+        "vit_b16", 12, image_size=32, dtype=jnp.float32, seed=0,
+        moe_experts=2,
+    )
+    step = make_pretrain_step(model, tx, batch_size=4, seed=0)
+    p0_router = np.asarray(
+        jax.tree.leaves(
+            {k: v for k, v in params["encoder"]["block0"]["moe"].items()
+             if k == "router"}
+        )[0]
+    ).copy()
+    for i in range(2):
+        params, opt_state, m = step(params, opt_state, imgs, labels, 8, i)
+    assert np.isfinite(float(m["loss"]))
+    p1_router = np.asarray(params["encoder"]["block0"]["moe"]["router"])
+    assert np.abs(p1_router - p0_router).max() > 0  # router actually trains
