@@ -5,6 +5,7 @@ graphs for the held-out split and report recall@k against ground truth.
 A thin wrapper over the generation machinery with evaluation defaults.
 
   python -m sgg.cli.evaluate --workdir /runs/vg1k --k 50 --num-samples 100
+  python -m sgg.cli.evaluate --workdir /runs/vg1k --k 20,50,100 --per-predicate
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ import jax
 import numpy as np
 
 from sgg.cli.common import add_platform_arg, apply_platform, load_dataset
-from sgg.eval import corpus_recall, make_sampler
+from sgg.eval import corpus_mean_recall, corpus_recall_multi, make_sampler
 from sgg.train.checkpoint import CheckpointManager, load_workdir
 from sgg.train.state import create_train_state
 
@@ -24,7 +25,12 @@ from sgg.train.state import create_train_state
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--workdir", required=True)
-    p.add_argument("--k", type=int, default=50, help="recall@k cutoff")
+    p.add_argument("--k", default="50",
+                   help="recall cutoff(s); comma-separated for several "
+                        "(e.g. 20,50,100) — one sampling pass covers all")
+    p.add_argument("--per-predicate", action="store_true",
+                   help="also report predicate-balanced mean recall (mR@k, "
+                        "at the largest k) and the worst/best predicates")
     p.add_argument("--num-samples", type=int, default=100, help="noise draws per image")
     p.add_argument("--temperature", type=float, default=None,
                    help="Gumbel sampling temperature (default: config tau_min)")
@@ -90,12 +96,24 @@ def main(argv=None) -> int:
             gen_triples.append([t for t, _ in counts.most_common()])
             gt_triples.append([tuple(map(int, t)) for t in ds.triples[i]])
 
-    r = corpus_recall(gen_triples, gt_triples, k=args.k)
+    ks = sorted({int(k) for k in str(args.k).split(",") if k.strip()})
+    recalls = corpus_recall_multi(gen_triples, gt_triples, ks)
+    rep = " ".join(f"recall@{k} = {recalls[k]:.4f}" for k in ks)
     print(
         f"[sgg.evaluate] split={args.split} images={n_images} "
-        f"samples/image={args.num_samples} recall@{args.k} = {r:.4f}",
+        f"samples/image={args.num_samples} {rep}",
         flush=True,
     )
+    if args.per_predicate:
+        kmax = max(ks)
+        mr, table = corpus_mean_recall(gen_triples, gt_triples, k=kmax)
+        print(f"[sgg.evaluate] mR@{kmax} = {mr:.4f} "
+              f"over {len(table)} predicates with support", flush=True)
+        by_r = sorted(table.items(), key=lambda kv: kv[1][0])
+        for tag, rows in (("worst", by_r[:5]), ("best", by_r[-5:])):
+            for p, (r, n) in rows:
+                print(f"[sgg.evaluate]   {tag}: {vocab.token(p):<24} "
+                      f"recall@{kmax} = {r:.4f}  (n={n})", flush=True)
     return 0
 
 

@@ -12,7 +12,12 @@ from sgg.eval.sampler import (
     make_indexed_sampler,
     make_sampler,
 )
-from sgg.eval.recall import recall_at_k, corpus_recall
+from sgg.eval.recall import (
+    corpus_mean_recall,
+    corpus_recall,
+    corpus_recall_multi,
+    recall_at_k,
+)
 
 __all__ = [
     "make_sampler",
@@ -22,4 +27,6 @@ __all__ = [
     "assemble_scene_graphs",
     "recall_at_k",
     "corpus_recall",
+    "corpus_recall_multi",
+    "corpus_mean_recall",
 ]

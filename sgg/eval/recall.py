@@ -46,3 +46,77 @@ def corpus_recall(
         recall_at_k(g, t, k) for g, t in zip(per_image_generated, per_image_gt)
     ]
     return float(np.mean(vals))
+
+
+def _dedup_top(generated, k: int) -> list[tuple[int, int, int]]:
+    """First-occurrence dedupe, cut to the top ``k`` (rank = confidence)."""
+    seen: set = set()
+    top: list = []
+    for t in np.asarray(generated).reshape(-1, 3):
+        tt = (int(t[0]), int(t[1]), int(t[2]))
+        if tt not in seen:
+            seen.add(tt)
+            top.append(tt)
+            if len(top) == k:
+                break
+    return top
+
+
+def corpus_recall_multi(
+    per_image_generated: list, per_image_gt: list, ks: list[int]
+) -> dict[int, float]:
+    """Macro recall at several cutoffs in ONE pass over the samples.
+
+    Sampling dominates evaluation wall-clock, so reporting recall@{20,50,100}
+    must not mean sampling three times — each image's deduped ranking is
+    computed once at max(ks) and cut at every k.
+    """
+    if not per_image_gt or not ks:
+        return {k: 0.0 for k in ks}
+    kmax = max(ks)
+    sums = {k: 0.0 for k in ks}
+    for gen, gt_list in zip(per_image_generated, per_image_gt):
+        gt = {tuple(int(x) for x in t)
+              for t in np.asarray(gt_list).reshape(-1, 3)}
+        if not gt:
+            continue
+        top = _dedup_top(gen, kmax)
+        hit_rank = [t in gt for t in top]
+        cum = np.cumsum(hit_rank) if top else np.zeros(0)
+        for k in ks:
+            hits = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+            sums[k] += hits / len(gt)
+    n = len(per_image_gt)
+    return {k: sums[k] / n for k in ks}
+
+
+def corpus_mean_recall(
+    per_image_generated: list, per_image_gt: list, k: int = 50
+) -> tuple[float, dict[int, tuple[float, int]]]:
+    """Predicate-balanced mean recall (mR@k) + the per-predicate table.
+
+    Frequency-skewed corpora let a model score high recall@k from the few
+    head predicates alone; mR@k (Tang et al.'s mean recall, standard in the
+    scene-graph literature) recalls each PREDICATE class separately —
+    hits/total over all ground-truth triples of that class corpus-wide —
+    then averages over classes with support. Returns
+    ``(mR@k, {predicate_id: (recall, support)})``.
+    """
+    hits: dict[int, int] = {}
+    totals: dict[int, int] = {}
+    for gen, gt_list in zip(per_image_generated, per_image_gt):
+        gt = {tuple(int(x) for x in t)
+              for t in np.asarray(gt_list).reshape(-1, 3)}
+        if not gt:
+            continue
+        top = set(_dedup_top(gen, k))
+        for t in gt:
+            p = t[1]
+            totals[p] = totals.get(p, 0) + 1
+            if t in top:
+                hits[p] = hits.get(p, 0) + 1
+    table = {
+        p: (hits.get(p, 0) / tot, tot) for p, tot in sorted(totals.items())
+    }
+    mr = float(np.mean([r for r, _ in table.values()])) if table else 0.0
+    return mr, table

@@ -36,3 +36,37 @@ def test_corpus_recall_macro_average():
     gen = [[(1, 2, 3)], [(9, 9, 9)]]
     gt = [[(1, 2, 3)], [(4, 5, 6)]]
     assert corpus_recall(gen, gt, k=50) == 0.5
+
+
+def test_corpus_recall_multi_matches_single_k():
+    rng = np.random.RandomState(0)
+    gen = [rng.randint(0, 6, size=(40, 3)) for _ in range(8)]
+    gt = [rng.randint(0, 6, size=(5, 3)) for _ in range(8)]
+    from sgg.eval.recall import corpus_recall_multi
+
+    multi = corpus_recall_multi(gen, gt, ks=[2, 10, 50])
+    for k in (2, 10, 50):
+        assert multi[k] == corpus_recall(gen, gt, k=k)
+    assert multi[2] <= multi[10] <= multi[50]  # monotone in k
+
+
+def test_corpus_mean_recall_balances_predicates():
+    from sgg.eval.recall import corpus_mean_recall
+
+    # Predicate 1 dominates gt (3 triples, all recovered); predicate 2 has
+    # one triple, missed. Plain recall@k = 3/4; mR@k averages classes: 0.5.
+    gt = [[(1, 1, 2), (3, 1, 4), (5, 1, 6), (7, 2, 8)]]
+    gen = [[(1, 1, 2), (3, 1, 4), (5, 1, 6)]]
+    mr, table = corpus_mean_recall(gen, gt, k=50)
+    assert mr == 0.5
+    assert table[1] == (1.0, 3)
+    assert table[2] == (0.0, 1)
+
+
+def test_corpus_mean_recall_respects_topk_cut():
+    from sgg.eval.recall import corpus_mean_recall
+
+    gt = [[(1, 1, 2)]]
+    gen = [[(9, 9, 9), (8, 8, 8), (1, 1, 2)]]  # hit at rank 3
+    assert corpus_mean_recall(gen, gt, k=2)[0] == 0.0
+    assert corpus_mean_recall(gen, gt, k=3)[0] == 1.0
