@@ -1,0 +1,88 @@
+"""``serve`` entry point — dynamic-batching scene-graph inference server.
+
+The deployment surface on top of a trained workdir (the reference has no
+serving path at all — SURVEY.md §3.3 stops at an offline script):
+
+  python -m sgg.cli.serve --workdir /runs/vg1k --port 8500
+
+  curl -s localhost:8500/healthz
+  curl -s -X POST localhost:8500/v1/generate \
+      -d '{"features": [[[0.1, ...], ...]]}'
+
+Compiles the fixed-batch sampler BEFORE binding the port (first remote
+compile through the relay is 20–40 s; no request should pay it), then
+serves until SIGTERM/SIGINT, draining in-flight batches on shutdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import threading
+
+from sgg.cli.common import add_platform_arg, apply_platform
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True, help="trained run directory")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="compiled device batch; requests pad/coalesce to it")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="max batching delay after the first queued item")
+    p.add_argument("--num-samples", type=int, default=50,
+                   help="noise draws per image")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="Gumbel sampling temperature (default: config tau_min)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard each batch over this many chips "
+                        "(0 = single device; batch-size must divide)")
+    add_platform_arg(p)
+    args = p.parse_args(argv)
+    apply_platform(args)
+
+    from sgg.serve import DynamicBatcher, InferenceEngine, make_http_server
+
+    mesh = None
+    if args.dp:
+        from sgg.dist.mesh import MeshSpec, make_mesh
+
+        mesh = make_mesh(MeshSpec(data=args.dp))
+    engine = InferenceEngine.from_workdir(
+        args.workdir, batch_size=args.batch_size,
+        num_samples=args.num_samples, temperature=args.temperature,
+        seed=args.seed, mesh=mesh,
+    )
+    print(f"[sgg.serve] restored step {engine.step}; compiling batch "
+          f"{args.batch_size} × {engine.feature_shape} sampler…", flush=True)
+    dt = engine.warmup()
+    batcher = DynamicBatcher(engine, max_wait_ms=args.max_wait_ms)
+    server = make_http_server(batcher, host=args.host, port=args.port)
+
+    stop = threading.Event()
+
+    def _term(signum, frame):
+        print(f"[sgg.serve] signal {signum}: draining and shutting down",
+              flush=True)
+        stop.set()
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
+    signal.signal(signal.SIGINT, _term)
+
+    print(f"[sgg.serve] ready on http://{args.host}:{args.port} "
+          f"(warmup {dt:.1f}s)", flush=True)
+    try:
+        server.serve_forever()
+    finally:
+        batcher.close()
+        server.server_close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

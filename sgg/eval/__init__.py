@@ -9,6 +9,7 @@ from sgg.eval.sampler import (
     assemble_scene_graph,
     assemble_scene_graphs,
     device_put_features,
+    make_dp_sampler,
     make_indexed_sampler,
     make_sampler,
 )
@@ -22,6 +23,7 @@ from sgg.eval.recall import (
 __all__ = [
     "make_sampler",
     "make_indexed_sampler",
+    "make_dp_sampler",
     "device_put_features",
     "assemble_scene_graph",
     "assemble_scene_graphs",

@@ -1,0 +1,400 @@
+"""Inference serving tier: dynamic-batching scene-graph server.
+
+Reference equivalent: NONE — the reference (SURVEY.md §3.3) ships only an
+offline batch-generation script. This module is the deployment surface the
+rebuild adds on top of the same sampler the `generate` CLI uses, designed
+around how a TPU actually serves:
+
+- **One compiled program serves every request size.** The sampler is jitted
+  once at a fixed ``batch_size``; requests are padded up to it (XLA static
+  shapes — no shape-driven retraces, ever). Padding work is wasted MXU
+  cycles, but a retrace costs 20–40 s through this relay's remote compile —
+  the trade is not close.
+- **Warmup at startup, not on the first request.** ``InferenceEngine.warmup``
+  drives one padded batch through the jit before the server accepts traffic,
+  so request #1 pays milliseconds, not the first-compile cliff.
+- **Dynamic micro-batching.** Concurrent requests coalesce into one device
+  dispatch (up to ``batch_size`` images, or ``max_wait_ms`` after the first
+  queued item, whichever first). Through a relay-attached TPU each dispatch
+  costs ~30 ms round-trip regardless of batch fill (BASELINE.md), so
+  batching concurrent single-image requests is nearly free throughput.
+- **stdlib-only front end** (``http.server.ThreadingHTTPServer``): no server
+  framework dependency to gate on this offline machine.
+
+Endpoints (JSON over HTTP):
+  POST /v1/generate   {"features": [[[...]]]}  → {"scene_graphs": [...]}
+                      or {"images": [[[[u8]]]]} / {"paths": [...]} on
+                      encoder configs (pixels in, graphs out).
+  GET  /healthz       {"ok": true, "step": N, ...}
+  GET  /stats         batching/latency counters.
+
+Usage: ``python -m sgg.cli.serve --workdir /runs/vg1k --port 8500``.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgg.eval import assemble_scene_graphs, make_sampler
+from sgg.train.checkpoint import CheckpointManager, load_workdir
+from sgg.train.state import create_train_state
+
+
+@dataclass
+class ServeStats:
+    """Cheap counters + a latency ring buffer (lock-guarded)."""
+
+    requests: int = 0
+    items: int = 0
+    batches: int = 0
+    batch_fill_sum: int = 0
+    errors: int = 0
+    _lat_ms: list = field(default_factory=list)
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def record_batch(self, fill: int, latency_s: float) -> None:
+        with self._lock:
+            self.batches += 1
+            self.batch_fill_sum += fill
+            self._lat_ms.append(latency_s * 1e3)
+            if len(self._lat_ms) > 1024:  # ring buffer, O(1) memory
+                self._lat_ms = self._lat_ms[-512:]
+
+    def snapshot(self, batch_size: int) -> dict:
+        with self._lock:
+            lats = sorted(self._lat_ms)
+            pct = lambda p: (  # noqa: E731 — tiny local helper
+                lats[min(len(lats) - 1, int(p * len(lats)))] if lats else 0.0
+            )
+            return {
+                "requests": self.requests,
+                "items": self.items,
+                "batches": self.batches,
+                "errors": self.errors,
+                "avg_batch_fill": (
+                    self.batch_fill_sum / self.batches if self.batches else 0.0
+                ),
+                "batch_size": batch_size,
+                "batch_latency_ms": {
+                    "p50": round(pct(0.50), 2),
+                    "p95": round(pct(0.95), 2),
+                    "p99": round(pct(0.99), 2),
+                },
+            }
+
+
+class InferenceEngine:
+    """Fixed-batch compiled sampler over a trained workdir.
+
+    Thread-safe: the device dispatch and the rng-state update are guarded by
+    one lock (callers — the batcher, tests — may be many threads, but the
+    single relay-attached chip serializes dispatches anyway).
+    """
+
+    def __init__(self, cfg, vocab, state, *, batch_size: int = 32,
+                 num_samples: int = 50, temperature: float | None = None,
+                 seed: int = 0, mesh=None):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.batch_size = int(batch_size)
+        self.num_samples = int(num_samples)
+        self.step = int(state.step)
+        # Commit params to device ONCE. A numpy pytree handed to a jitted fn
+        # re-uploads per call on this machine (NOTES.md: 80 MB/batch dragged
+        # extraction 50→6 img/s); orbax may restore to host arrays.
+        self._g_params = jax.tree.map(jnp.asarray, state.g_params)
+        if mesh is not None:
+            # Multi-chip serving: shard the padded batch over 'data'
+            # (bit-identical tokens to the single-device sampler — every
+            # decoded row is independent, so there are no collectives).
+            from sgg.dist.mesh import DATA_AXIS
+            from sgg.eval.sampler import make_dp_sampler
+
+            n_data = mesh.shape[DATA_AXIS]
+            if self.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"mesh's data axis ({n_data})"
+                )
+            self._sampler = make_dp_sampler(
+                cfg, mesh, step_mask=vocab.step_mask(),
+                num_samples=self.num_samples, tau=temperature,
+            )
+        else:
+            self._sampler = make_sampler(
+                cfg, step_mask=vocab.step_mask(),
+                num_samples=self.num_samples, tau=temperature,
+            )
+        self._rng = jax.random.key(seed)
+        self._lock = threading.Lock()
+        self._encode = None
+        self._enc_params = None
+        if cfg.model.encoder != "precomputed":
+            from sgg.models.encoders import make_encoder, normalize_for
+
+            enc = make_encoder(
+                cfg.model.encoder, dtype=cfg.model.dtype,
+                image_size=cfg.data.image_size,
+                moe_experts=cfg.model.moe_experts,
+                moe_top_k=cfg.model.moe_top_k,
+            )
+            self._enc_params = jax.tree.map(jnp.asarray, state.enc_params)
+
+            @jax.jit
+            def encode(params, images_u8):
+                return enc.apply(params, normalize_for(cfg.model.encoder,
+                                                       images_u8))
+
+            self._encode = encode
+
+    @classmethod
+    def from_workdir(cls, workdir: str, **kw) -> "InferenceEngine":
+        cfg, vocab = load_workdir(workdir)
+        cfg.model.vocab_size = len(vocab)
+        state = create_train_state(cfg, jax.random.key(0))
+        restored = CheckpointManager(workdir, cfg).restore(state)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint in {workdir}")
+        return cls(cfg, vocab, restored, **kw)
+
+    @property
+    def feature_shape(self) -> tuple[int, int]:
+        return (self.cfg.data.regions, self.cfg.data.feat_dim)
+
+    def warmup(self) -> float:
+        """Compile the padded-batch program(s); returns wall seconds."""
+        t0 = time.perf_counter()
+        r, f = self.feature_shape
+        feats = np.zeros((self.batch_size, r, f), np.float32)
+        if self._encode is not None:
+            s = self.cfg.data.image_size
+            imgs = jnp.zeros((self.batch_size, s, s, 3), jnp.uint8)
+            jax.block_until_ready(self._encode(self._enc_params, imgs))
+        np.asarray(self._sample_tokens(feats))
+        return time.perf_counter() - t0
+
+    # ------------------------------------------------------------- internals
+    def _sample_tokens(self, feats: np.ndarray) -> np.ndarray:
+        """float[n,R,F] → int32[n,K,3]; pads/chunks to the compiled batch."""
+        n = feats.shape[0]
+        B = self.batch_size
+        out = []
+        for lo in range(0, n, B):
+            chunk = feats[lo:lo + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            with self._lock:
+                self._rng, sub = jax.random.split(self._rng)
+                fut = self._sampler(
+                    self._g_params, jnp.asarray(chunk, self.cfg.model.dtype),
+                    sub,
+                )
+            tokens = np.asarray(fut)  # sync point outside the lock is fine:
+            # the array is already a concrete device result future.
+            out.append(tokens[: B - pad])
+        return np.concatenate(out) if len(out) > 1 else out[0]
+
+    def encode_images(self, images_u8: np.ndarray) -> np.ndarray:
+        if self._encode is None:
+            raise ValueError(
+                "this run used precomputed features; POST 'features' instead"
+            )
+        n = images_u8.shape[0]
+        B = self.batch_size
+        out = []
+        for lo in range(0, n, B):
+            chunk = images_u8[lo:lo + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            feats = self._encode(self._enc_params, jnp.asarray(chunk))
+            out.append(np.asarray(feats, np.float32)[: B - pad])
+        return np.concatenate(out) if len(out) > 1 else out[0]
+
+    # ------------------------------------------------------------- public
+    def generate(self, feats: np.ndarray) -> list[dict]:
+        """float[n,R,F] → n scene-graph dicts (triples by sample count)."""
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 3 or feats.shape[1:] != self.feature_shape:
+            raise ValueError(
+                f"expected features [n, {self.feature_shape[0]}, "
+                f"{self.feature_shape[1]}], got {feats.shape}"
+            )
+        tokens = self._sample_tokens(feats)
+        graphs, _ = assemble_scene_graphs(
+            tokens, self.vocab, np.arange(len(tokens))
+        )
+        for g in graphs:
+            g.pop("image_id", None)
+        return graphs
+
+    def generate_from_images(self, images_u8: np.ndarray) -> list[dict]:
+        return self.generate(self.encode_images(np.asarray(images_u8,
+                                                           np.uint8)))
+
+
+class DynamicBatcher:
+    """Coalesce concurrent requests into full device batches.
+
+    Items (single images' features) from any number of requests are packed
+    into one dispatch of up to ``engine.batch_size``; a batch launches when
+    full or ``max_wait_ms`` after its first item arrived. With one client the
+    added latency is bounded by ``max_wait_ms``; under load batches fill and
+    the wait never triggers.
+    """
+
+    def __init__(self, engine: InferenceEngine, *, max_wait_ms: float = 5.0,
+                 stats: ServeStats | None = None):
+        self.engine = engine
+        self.max_wait = max_wait_ms / 1e3
+        self.stats = stats or ServeStats()
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="sgg-batcher")
+        self._worker.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)  # wake the worker
+        self._worker.join(timeout=5)
+
+    def submit(self, feats: np.ndarray, timeout: float | None = 60.0
+               ) -> list[dict]:
+        """Blocking: float[n,R,F] → n scene graphs (may span batches)."""
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 3 or feats.shape[1:] != self.engine.feature_shape:
+            raise ValueError(
+                f"expected features [n, {self.engine.feature_shape[0]}, "
+                f"{self.engine.feature_shape[1]}], got {feats.shape}"
+            )
+        futs = []
+        for i in range(feats.shape[0]):
+            f: Future = Future()
+            self._q.put((feats[i], f))
+            futs.append(f)
+        with self.stats._lock:
+            self.stats.requests += 1
+            self.stats.items += len(futs)
+        return [f.result(timeout=timeout) for f in futs]
+
+    def _loop(self) -> None:
+        B = self.engine.batch_size
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if first is None:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.max_wait
+            while len(batch) < B:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if item is None:
+                    break
+                batch.append(item)
+            feats = np.stack([b[0] for b in batch])
+            t0 = time.perf_counter()
+            try:
+                graphs = self.engine.generate(feats)
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                with self.stats._lock:
+                    self.stats.errors += 1
+                for _, f in batch:
+                    if not f.done():
+                        f.set_exception(e)
+                continue
+            self.stats.record_batch(len(batch), time.perf_counter() - t0)
+            for (_, f), g in zip(batch, graphs):
+                f.set_result(g)
+
+
+def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
+                     port: int = 8500) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP front end; ``.serve_forever()`` to run."""
+    engine, stats = batcher.engine, batcher.stats
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):  # quiet: stats replace access logs
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "ok": True, "step": engine.step,
+                    "encoder": engine.cfg.model.encoder,
+                    "vocab_size": len(engine.vocab),
+                    "num_samples": engine.num_samples,
+                })
+            elif self.path == "/stats":
+                self._send(200, stats.snapshot(engine.batch_size))
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/v1/generate":
+                self._send(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                if "features" in req:
+                    feats = np.asarray(req["features"], np.float32)
+                    t0 = time.perf_counter()
+                    graphs = batcher.submit(feats)
+                elif "images" in req:
+                    imgs = np.asarray(req["images"], np.uint8)
+                    t0 = time.perf_counter()
+                    graphs = engine.generate_from_images(imgs)
+                elif "paths" in req:
+                    from sgg.data.extract import load_batch
+
+                    imgs = load_batch(list(req["paths"]),
+                                      engine.cfg.data.image_size)
+                    t0 = time.perf_counter()
+                    graphs = engine.generate_from_images(imgs)
+                else:
+                    self._send(400, {"error":
+                                     "need 'features', 'images' or 'paths'"})
+                    return
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(200, {
+                "scene_graphs": graphs,
+                "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
+            })
+
+    return ThreadingHTTPServer((host, port), Handler)

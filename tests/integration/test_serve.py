@@ -1,0 +1,169 @@
+"""Serving tier: engine padding/chunking, dynamic batching, HTTP surface."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from sgg.cli import preprocess as cli_preprocess
+from sgg.cli import train as cli_train
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve")
+    assert cli_preprocess.main(
+        ["--out-dir", str(d / "data"), "--synthetic", "32",
+         "--regions", "9", "--feat-dim", "16"]
+    ) == 0
+    assert cli_train.main(
+        ["--config", "smoke", "--workdir", str(d / "run"),
+         "--set", "data.source=shards",
+         "--set", f"data.data_dir={d / 'data'}",
+         "--set", "data.regions=9", "--set", "data.feat_dim=16",
+         "--set", "train.checkpoint_every=2", "--steps", "2"]
+    ) == 0
+    return str(d / "run")
+
+
+@pytest.fixture(scope="module")
+def engine(workdir):
+    from sgg.serve import InferenceEngine
+
+    eng = InferenceEngine.from_workdir(workdir, batch_size=4, num_samples=5)
+    assert eng.warmup() > 0
+    return eng
+
+
+def _feats(n, seed=0):
+    return np.random.RandomState(seed).randn(n, 9, 16).astype(np.float32)
+
+
+def test_engine_pads_small_requests(engine):
+    graphs = engine.generate(_feats(2))
+    assert len(graphs) == 2  # padding rows stripped
+    for g in graphs:
+        assert sum(t["count"] for t in g["triples"]) == 5
+
+
+def test_engine_chunks_oversized_requests(engine):
+    graphs = engine.generate(_feats(9))  # 3 dispatches at batch 4
+    assert len(graphs) == 9
+
+
+def test_engine_rejects_wrong_shape(engine):
+    with pytest.raises(ValueError, match="expected features"):
+        engine.generate(np.zeros((2, 9, 17), np.float32))
+
+
+def test_batcher_coalesces_concurrent_requests(engine):
+    from sgg.serve import DynamicBatcher, ServeStats
+
+    stats = ServeStats()
+    batcher = DynamicBatcher(engine, max_wait_ms=200.0, stats=stats)
+    try:
+        results = [None] * 4
+        feats = _feats(4, seed=1)
+
+        def call(i):
+            results[i] = batcher.submit(feats[i:i + 1])[0]
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert all(r is not None and "triples" in r for r in results)
+        snap = stats.snapshot(engine.batch_size)
+        assert snap["items"] == 4
+        # Four single-item requests within the 200 ms window should need far
+        # fewer than four dispatches (usually one).
+        assert snap["batches"] <= 3
+        assert snap["avg_batch_fill"] > 1.0
+    finally:
+        batcher.close()
+
+
+def test_batcher_multi_item_request_spans_batches(engine):
+    from sgg.serve import DynamicBatcher
+
+    batcher = DynamicBatcher(engine, max_wait_ms=1.0)
+    try:
+        graphs = batcher.submit(_feats(6, seed=2))  # > batch_size=4
+        assert len(graphs) == 6
+    finally:
+        batcher.close()
+
+
+@pytest.fixture(scope="module")
+def http_server(engine):
+    from sgg.serve import DynamicBatcher, make_http_server
+
+    batcher = DynamicBatcher(engine, max_wait_ms=1.0)
+    server = make_http_server(batcher, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+    server.server_close()
+    batcher.close()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_healthz(http_server):
+    status, body = _get(http_server + "/healthz")
+    assert status == 200 and body["ok"] is True
+    assert body["step"] == 2 and body["vocab_size"] > 0
+
+
+def test_http_generate_and_stats(http_server):
+    status, body = _post(http_server + "/v1/generate",
+                         {"features": _feats(3, seed=3).tolist()})
+    assert status == 200
+    assert len(body["scene_graphs"]) == 3
+    for g in body["scene_graphs"]:
+        assert sum(t["count"] for t in g["triples"]) == 5
+    assert body["latency_ms"] > 0
+    status, stats = _get(http_server + "/stats")
+    assert status == 200 and stats["items"] >= 3
+
+
+def test_http_bad_requests(http_server):
+    status, body = _post(http_server + "/v1/generate", {"nope": 1})
+    assert status == 400 and "error" in body
+    status, body = _post(http_server + "/v1/generate",
+                         {"features": [[[1.0, 2.0]]]})
+    assert status == 400  # wrong feature shape
+    status, body = _get(http_server + "/unknown")
+    assert status == 404
+
+
+def test_images_route_rejected_on_precomputed_config(http_server):
+    status, body = _post(
+        http_server + "/v1/generate",
+        {"images": np.zeros((1, 8, 8, 3), np.uint8).tolist()},
+    )
+    assert status == 400 and "precomputed" in body["error"]
