@@ -63,6 +63,52 @@ def main(iters: int = 200) -> None:
          batch=BATCH, samples_per_image=K)
 
 
+def bench_encoder_quant(name: str = "vit_b16", batch: int = 16,
+                        iters: int = 60) -> None:
+    """End-to-end encoder forward, float vs dynamic-int8 PTQ
+    (sgg.kernels.quant) — the serving tier's pixels→features stage."""
+    from functools import partial
+
+    from sgg.models.encoders import make_encoder
+
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(batch, 224, 224, 3) * 0.5, dtype)
+    enc_f = make_encoder(name, dtype=dtype)
+    enc_q = make_encoder(name, dtype=dtype, quant="int8")
+    params = jax.tree.map(jnp.asarray, enc_f.init(jax.random.key(0), x))
+
+    def timed(enc):
+        @partial(jax.jit, static_argnames="n")
+        def run(c, n):
+            def body(carry, _):
+                y = enc.apply(params, carry)
+                d = jnp.mean(y.astype(jnp.float32)) * 1e-6
+                return (carry.astype(jnp.float32) + d).astype(dtype), ()
+
+            out, _ = jax.lax.scan(body, c, None, length=n)
+            return jnp.sum(out.astype(jnp.float32))
+
+        n1, n2 = 2, 2 + iters
+        float(run(x, n1))
+        float(run(x, n2))
+
+        def t(n):
+            t0 = time.perf_counter()
+            float(run(x, n))
+            return time.perf_counter() - t0
+
+        return max((t(n2) - t(n1)) / (n2 - n1), 1e-12)
+
+    t_f, t_q = timed(enc_f), timed(enc_q)
+    emit(f"{name}_int8_img_per_sec", batch / t_q, "img/s",
+         float_img_per_sec=round(batch / t_f, 1),
+         speedup=round(t_f / t_q, 3))
+
+
 if __name__ == "__main__":
     print(f"# backend={jax.default_backend()}", file=sys.stderr)
     main()
+    if "--quant" in sys.argv:
+        bench_encoder_quant("vit_b16")
+        bench_encoder_quant("resnet50")

@@ -195,6 +195,46 @@ def bench_fused_decode(V=1024, B=32, dtype=jnp.bfloat16, n1=20, n2=220):
          speedup=round(t_ref / t_fused, 3))
 
 
+def bench_int8(dtype=jnp.bfloat16):
+    """Dynamic-PTQ int8 vs float at the shapes the quant tier actually runs
+    (sgg.kernels.quant). Throughput is EFFECTIVE TFLOP/s: float-equivalent
+    2MKN (or conv FLOPs) over wall time, so >peak-bf16 readings mean the
+    int8 MXU path is winning including its quantize/dequantize overhead.
+    v5e int8 peak is 2× bf16 (394 TOPS); the question each line answers is
+    how much of that reaches an op that must also absmax+round its inputs.
+    """
+    from sgg.kernels.quant import conv2d_int8, int8_dot_general
+
+    r = np.random.RandomState(0)
+    dn = (((1,), (0,)), ((), ()))
+    # ViT-B/16 projection shapes: qkv/mlp1 at batch 16 (S=196) and a fatter
+    # M (batch 64) to separate fixed quantize cost from matmul scaling.
+    for (M, K, N) in [(3136, 768, 3072), (12544, 768, 3072)]:
+        a = jnp.asarray(r.randn(M, K) * 0.1, dtype)
+        b = jnp.asarray(r.randn(K, N) * 0.05, dtype)
+        flops = 2 * M * K * N
+        t_q = time_marginal_scan(
+            lambda c: int8_dot_general(c, b, dn).astype(dtype), a,
+            n1=10, n2=60)
+        t_f = time_marginal_scan(lambda c: c @ b, a, n1=10, n2=60)
+        emit("int8_dot_tflops_eff", flops / t_q / 1e12, "TFLOP/s",
+             shape=f"{M}x{K}x{N}", float_tflops=round(flops / t_f / 1e12, 3),
+             speedup=round(t_f / t_q, 3))
+    # VGG conv4-ish block shape (the conv tier's hot range).
+    B, HW, C = 32, 56, 256
+    x = jnp.asarray(r.randn(B, HW, HW, C) * 0.3, dtype)
+    w = jnp.asarray(r.randn(3, 3, C, C) * 0.02, dtype)
+    bias = jnp.asarray(r.randn(C) * 0.01, jnp.float32)
+    flops = 2 * B * HW * HW * 9 * C * C
+    t_q = time_marginal_scan(
+        lambda c: conv2d_int8(c, w, bias=bias), x, n1=10, n2=60)
+    t_f = time_marginal_scan(
+        lambda c: conv2d_reference(c, w, bias=bias), x, n1=10, n2=60)
+    emit("int8_conv_tflops_eff", flops / t_q / 1e12, "TFLOP/s",
+         shape=f"{B}x{HW}x{HW}x{C}", float_tflops=round(flops / t_f / 1e12, 3),
+         speedup=round(t_f / t_q, 3))
+
+
 if __name__ == "__main__":
     print(f"# backend={jax.default_backend()}", file=sys.stderr)
     bench_flash()
@@ -206,3 +246,4 @@ if __name__ == "__main__":
     bench_matmul()
     bench_fused_decode()
     bench_fused_decode(V=8192)
+    bench_int8()

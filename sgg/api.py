@@ -41,6 +41,7 @@ class SceneGraphGenerator:
                 image_size=cfg.data.image_size,
                 moe_experts=cfg.model.moe_experts,
                 moe_top_k=cfg.model.moe_top_k,
+                quant=cfg.model.quant,
             )
 
             @jax.jit

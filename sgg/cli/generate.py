@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--split", default="test", choices=["train", "test"],
                    help="evaluate on held-out shards when available (default)")
+    p.add_argument("--quant", default=None, choices=["none", "int8"],
+                   help="encoder PTQ mode (overrides cfg.model.quant): int8 "
+                        "runs the backbone s8×s8→s32 on the MXU")
     p.add_argument("--decode", default="xla", choices=["xla", "fused"],
                    help="decode path: 'xla' = vmapped generator.apply, "
                         "'fused' = one Pallas program per draw with decoder "
@@ -73,11 +76,14 @@ def main(argv=None) -> int:
     if cfg.model.encoder != "precomputed":
         from sgg.models.encoders import make_encoder, normalize_for
 
+        quant = cfg.model.quant if args.quant is None else (
+            "" if args.quant == "none" else args.quant)
         enc = make_encoder(
             cfg.model.encoder, dtype=cfg.model.dtype,
             image_size=cfg.data.image_size,
             moe_experts=cfg.model.moe_experts,
             moe_top_k=cfg.model.moe_top_k,
+            quant=quant,
         )
 
         @jax.jit

@@ -41,6 +41,9 @@ def main(argv=None) -> int:
     p.add_argument("--dp", type=int, default=0,
                    help="shard each batch over this many chips "
                         "(0 = single device; batch-size must divide)")
+    p.add_argument("--quant", default=None, choices=["none", "int8"],
+                   help="encoder PTQ mode (overrides cfg.model.quant): int8 "
+                        "runs the backbone s8×s8→s32 on the MXU")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -55,7 +58,7 @@ def main(argv=None) -> int:
     engine = InferenceEngine.from_workdir(
         args.workdir, batch_size=args.batch_size,
         num_samples=args.num_samples, temperature=args.temperature,
-        seed=args.seed, mesh=mesh,
+        seed=args.seed, mesh=mesh, quant=args.quant,
     )
     print(f"[sgg.serve] restored step {engine.step}; compiling batch "
           f"{args.batch_size} × {engine.feature_shape} sampler…", flush=True)

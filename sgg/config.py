@@ -55,6 +55,11 @@ class ModelConfig:
     # expert-parallel over the 'expert' axis (sgg.dist.expert_parallel).
     moe_experts: int = 0
     moe_top_k: int = 2
+    # INFERENCE-ONLY dynamic int8 PTQ for the encoder ('' | 'int8').
+    # Honored by generate/evaluate/serve/api when building the backbone
+    # (sgg.kernels.quant: s8×s8→s32 on the MXU, 2× bf16 peak on v5e);
+    # the train step ignores it — never train through quantized ops.
+    quant: str = ""
 
     @property
     def dtype(self):

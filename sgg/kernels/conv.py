@@ -51,7 +51,8 @@ def conv2d_fused(
 
     ``impl``: 'direct' (Pallas direct conv, patches assembled in VMEM —
     stride-1 SAME only), 'pallas' (im2col + Mosaic fused matmul), 'xla'
-    (lax.conv; XLA fuses the epilogue into the conv), or 'auto' (derived
+    (lax.conv; XLA fuses the epilogue into the conv), 'int8' (dynamic PTQ,
+    s8×s8→s32 on the MXU — sgg.kernels.quant), or 'auto' (derived
     from ``use_pallas`` when None). Measured on v5e bf16 at the VGG
     conv3/4/5 shapes: XLA conv ~175–190 TFLOP/s (≈96% MFU — these shapes
     are compute-bound), direct Pallas 131–153, im2col Pallas ~35 (patch
@@ -65,6 +66,13 @@ def conv2d_fused(
         impl = "auto" if use_pallas else "xla"
     if impl == "auto":
         impl = "xla"
+    if impl == "int8":
+        from sgg.kernels.quant import conv2d_int8
+
+        return conv2d_int8(
+            x, w, bias=bias, scale=scale, stride=stride, padding=padding,
+            relu=relu,
+        )
     if impl in ("pallas", "direct") and w.shape[0] == 1 and w.shape[1] == 1:
         # A 1×1 conv IS a matmul (VERDICT r2 item 7): skip patch extraction
         # entirely and feed the retuned fused matmul, which matches XLA dot

@@ -34,6 +34,7 @@ def make_encoder(
     moe_experts: int = 0,
     moe_top_k: int = 2,
     moe_ep_mesh=None,
+    quant: str = "",
 ) -> nn.Module | None:
     """Returns the feature-extractor module, or None for 'precomputed'.
 
@@ -42,24 +43,42 @@ def make_encoder(
     ``image_size`` (ViT only): sizes the learned pos_embed; default 224.
     ``moe_experts`` (ViT only): > 0 swaps each block's dense MLP for a
     top-k MoE layer (sgg.models.moe; EP over a mesh 'expert' axis).
+    ``quant``: '' (float) or 'int8' — dynamic-PTQ inference tier
+    (sgg.kernels.quant): VGG/ResNet convs and ViT block projections run
+    s8×s8→s32 on the MXU (2× bf16 peak on v5e). Inference only — do not
+    train through it.
     """
+    if quant not in ("", "int8"):
+        raise ValueError(f"unknown quant mode {quant!r} (want '' or 'int8')")
     if name == "precomputed":
         return None
     if name == "vgg19":
         from sgg.models.vgg import VGG19Features
 
-        return VGG19Features(use_pallas=use_pallas, dtype=dtype)
+        return VGG19Features(
+            use_pallas=use_pallas, dtype=dtype,
+            conv_impl="int8" if quant == "int8" else None,
+        )
     if name == "resnet50":
         from sgg.models.resnet import ResNet50Features
 
-        return ResNet50Features(use_pallas=use_pallas, dtype=dtype)
+        return ResNet50Features(
+            use_pallas=use_pallas, dtype=dtype,
+            conv_impl="int8" if quant == "int8" else None,
+        )
     if name == "vit_b16":
         from sgg.models.vit import ViTB16Features
 
+        dot_general = None
+        if quant == "int8":
+            from sgg.kernels.quant import int8_dot_general
+
+            dot_general = int8_dot_general
         patches = ((image_size or 224) // 16) ** 2
         return ViTB16Features(
             use_pallas=use_pallas, dtype=dtype, attn_fn=attn_fn,
             num_patches=patches, moe_experts=moe_experts,
             moe_top_k=moe_top_k, moe_ep_mesh=moe_ep_mesh,
+            dot_general=dot_general,
         )
     raise ValueError(f"unknown encoder {name!r}")

@@ -29,6 +29,7 @@ class _ConvBN(nn.Module):
     stride: int = 1
     relu: bool = True
     use_pallas: bool = False
+    conv_impl: str | None = None  # 'int8' → dynamic-PTQ conv (kernels/quant)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -51,7 +52,7 @@ class _ConvBN(nn.Module):
         scale, bias = fold_batchnorm(gamma, beta, mean, var)
         return conv2d_fused(
             x, w, bias=bias, scale=scale, stride=self.stride, padding="SAME",
-            relu=self.relu, use_pallas=self.use_pallas,
+            relu=self.relu, use_pallas=self.use_pallas, impl=self.conv_impl,
         )
 
 
@@ -60,11 +61,13 @@ class _Bottleneck(nn.Module):
     stride: int = 1
     project: bool = False
     use_pallas: bool = False
+    conv_impl: str | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        kw = dict(use_pallas=self.use_pallas, dtype=self.dtype)
+        kw = dict(use_pallas=self.use_pallas, conv_impl=self.conv_impl,
+                  dtype=self.dtype)
         residual = x
         y = _ConvBN(self.mid, 1, name="conv1", **kw)(x)
         y = _ConvBN(self.mid, 3, stride=self.stride, name="conv2", **kw)(y)
@@ -81,13 +84,14 @@ class ResNet50Features(nn.Module):
     """Images [B, H, W, 3] (normalized) → [B, H/32·W/32, 2048] regions."""
 
     use_pallas: bool = False
+    conv_impl: str | None = None  # 'int8' → dynamic-PTQ convs (kernels/quant)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
         x = _ConvBN(64, 7, stride=2, name="stem", use_pallas=self.use_pallas,
-                    dtype=self.dtype)(x)
+                    conv_impl=self.conv_impl, dtype=self.dtype)(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         for s, (blocks, mid) in enumerate(_STAGES, start=1):
             for b in range(blocks):
@@ -97,6 +101,7 @@ class ResNet50Features(nn.Module):
                     project=(b == 0),
                     name=f"stage{s}_block{b}",
                     use_pallas=self.use_pallas,
+                    conv_impl=self.conv_impl,
                     dtype=self.dtype,
                 )(x)
         B, H, W, C = x.shape

@@ -40,6 +40,9 @@ class VGG19Features(nn.Module):
     """Images [B, H, W, 3] (preprocessed) → conv5_4 features [B, H/16·W/16, 512]."""
 
     use_pallas: bool = False
+    # None → derive from use_pallas; 'int8' → dynamic-PTQ convs
+    # (sgg.kernels.quant; v5e MXU int8 = 2× bf16 peak).
+    conv_impl: str | None = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -60,7 +63,7 @@ class VGG19Features(nn.Module):
                 )
                 x = conv2d_fused(
                     x, w, bias=b, stride=1, padding="SAME", relu=True,
-                    use_pallas=self.use_pallas,
+                    use_pallas=self.use_pallas, impl=self.conv_impl,
                 )
             if block < 5:
                 # Pools 1–4 run; conv5 output stays at stride 16 (14×14@224).

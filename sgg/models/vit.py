@@ -27,6 +27,9 @@ class MultiHeadSelfAttention(nn.Module):
     num_heads: int
     use_pallas: bool = False
     attn_fn: Callable | None = None  # overrides kernel choice when set
+    # Pluggable projection dot (e.g. sgg.kernels.quant.int8_dot_general for
+    # the PTQ inference tier); None → lax.dot_general.
+    dot_general: Callable | None = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -35,7 +38,8 @@ class MultiHeadSelfAttention(nn.Module):
         B, S, E = x.shape
         H = self.num_heads
         D = E // H
-        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype,
+                  dot_general=self.dot_general)
         qkv = nn.Dense(3 * E, name="qkv", **kw)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -66,6 +70,9 @@ class TransformerBlock(nn.Module):
     moe_experts: int = 0
     moe_top_k: int = 2
     moe_ep_mesh: "object | None" = None  # Mesh with an 'expert' axis → EP
+    # int8 PTQ hook for every projection Dense (attn qkv/out, mlp1/mlp2);
+    # the MoE MLP keeps float experts (its dispatch einsums dominate).
+    dot_general: "Callable | None" = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -75,7 +82,7 @@ class TransformerBlock(nn.Module):
         y = nn.LayerNorm(name="ln1", **kw)(x)
         x = x + MultiHeadSelfAttention(
             self.num_heads, use_pallas=self.use_pallas, attn_fn=self.attn_fn,
-            name="attn", **kw,
+            dot_general=self.dot_general, name="attn", **kw,
         )(y)
         y = nn.LayerNorm(name="ln2", **kw)(x)
         if self.moe_experts > 0:
@@ -87,9 +94,10 @@ class TransformerBlock(nn.Module):
                 name="moe", **kw,
             )(y)
             return x
-        h = nn.Dense(x.shape[-1] * self.mlp_ratio, name="mlp1", **kw)(y)
+        dkw = dict(kw, dot_general=self.dot_general)
+        h = nn.Dense(x.shape[-1] * self.mlp_ratio, name="mlp1", **dkw)(y)
         h = nn.gelu(h)
-        x = x + nn.Dense(x.shape[-1], name="mlp2", **kw)(h)
+        x = x + nn.Dense(x.shape[-1], name="mlp2", **dkw)(h)
         return x
 
 
@@ -114,6 +122,11 @@ class ViTB16Features(nn.Module):
     moe_experts: int = 0  # > 0: MoE MLP in every block (sgg.models.moe)
     moe_top_k: int = 2
     moe_ep_mesh: "object | None" = None  # Mesh with an 'expert' axis → EP
+    # Pluggable block-projection dot — sgg.kernels.quant.int8_dot_general
+    # for the PTQ inference tier. The patch-embed conv stays float: it is
+    # <2% of the forward FLOPs and first-layer quantization costs the most
+    # accuracy (standard PTQ practice).
+    dot_general: "Callable | None" = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     num_patches: int = 196  # (image_size / patch)² — 224px default
@@ -133,7 +146,7 @@ class ViTB16Features(nn.Module):
                 self.num_heads, self.mlp_ratio, use_pallas=self.use_pallas,
                 attn_fn=self.attn_fn, moe_experts=self.moe_experts,
                 moe_top_k=self.moe_top_k, moe_ep_mesh=self.moe_ep_mesh,
-                name=f"block{i}", **kw,
+                dot_general=self.dot_general, name=f"block{i}", **kw,
             )
             for i in range(self.num_layers)
         ]

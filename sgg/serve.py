@@ -103,7 +103,9 @@ class InferenceEngine:
 
     def __init__(self, cfg, vocab, state, *, batch_size: int = 32,
                  num_samples: int = 50, temperature: float | None = None,
-                 seed: int = 0, mesh=None):
+                 seed: int = 0, mesh=None, quant: str | None = None):
+        if quant is not None:  # CLI override of cfg.model.quant
+            cfg.model.quant = "" if quant == "none" else quant
         self.cfg = cfg
         self.vocab = vocab
         self.batch_size = int(batch_size)
@@ -147,6 +149,7 @@ class InferenceEngine:
                 image_size=cfg.data.image_size,
                 moe_experts=cfg.model.moe_experts,
                 moe_top_k=cfg.model.moe_top_k,
+                quant=cfg.model.quant,
             )
             self._enc_params = jax.tree.map(jnp.asarray, state.enc_params)
 
