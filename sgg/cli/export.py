@@ -1,0 +1,104 @@
+"""``export`` entry point — package a trained sampler as one AOT artifact.
+
+The deployment surface beyond checkpoints (sgg/export.py): the compiled
+StableHLO inference program + generator weights + vocab in a single .npz
+a serving host loads with jax + numpy alone — no sgg model code.
+
+  python -m sgg.cli.export --workdir /runs/vg1k --out model.sgx --check
+  python -m sgg.cli.export --workdir /runs/vg1k --platforms cpu,tpu
+
+``--check`` round-trips the artifact through ``load_artifact`` and asserts
+its tokens are bit-identical to the live sampler on a fixed batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+from sgg.cli.common import add_platform_arg, apply_platform
+from sgg.train.checkpoint import CheckpointManager, load_workdir
+from sgg.train.state import create_train_state
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True, help="trained run directory")
+    p.add_argument("--out", default=None,
+                   help="artifact path (default: workdir/model.sgx)")
+    p.add_argument("--batch-size", type=int, default=32,
+                   help="compiled batch (requests pad to it, like serve)")
+    p.add_argument("--num-samples", type=int, default=50,
+                   help="noise draws per image baked into the program")
+    p.add_argument("--temperature", type=float, default=None,
+                   help="sampling temperature (default: config tau_min)")
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma-separated lowering targets in one artifact")
+    p.add_argument("--check", action="store_true",
+                   help="reload the artifact and assert bit-identical "
+                        "tokens vs the live sampler")
+    p.add_argument("--seed", type=int, default=0)
+    add_platform_arg(p)
+    args = p.parse_args(argv)
+    apply_platform(args)
+
+    from sgg.export import export_sampler, load_artifact, save_artifact
+
+    cfg, vocab = load_workdir(args.workdir)
+    cfg.model.vocab_size = len(vocab)
+    state = create_train_state(cfg, jax.random.key(0))
+    restored = CheckpointManager(args.workdir, cfg).restore(state)
+    if restored is None:
+        print(f"[sgg.export] no checkpoint in {args.workdir}", file=sys.stderr)
+        return 1
+    state = restored
+
+    platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
+    exported, params_flat, meta = export_sampler(
+        cfg, vocab, state.g_params, batch_size=args.batch_size,
+        num_samples=args.num_samples, temperature=args.temperature,
+        platforms=platforms,
+    )
+    out = args.out or os.path.join(args.workdir, "model.sgx")
+    save_artifact(out, exported, params_flat, meta)
+    size_mb = os.path.getsize(out) / 1e6
+    print(f"[sgg.export] step {int(state.step)} → {out} "
+          f"({size_mb:.1f} MB, platforms={list(platforms)}, "
+          f"batch={args.batch_size}, k={args.num_samples})", flush=True)
+
+    if args.check:
+        from sgg.eval.sampler import make_sampler
+
+        call, meta2 = load_artifact(out)
+        r = np.random.RandomState(args.seed)
+        feats = np.asarray(
+            r.randn(args.batch_size, cfg.data.regions, cfg.data.feat_dim),
+            np.float32,
+        ).astype(cfg.model.dtype)
+        key = jax.random.key(args.seed)
+        got = np.asarray(call(feats, np.asarray(jax.random.key_data(key))))
+        live = make_sampler(
+            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
+            tau=args.temperature,
+        )
+        want = np.asarray(live(
+            jax.tree.map(lambda p: jax.numpy.asarray(p, jax.numpy.float32),
+                         state.g_params),
+            feats, key,
+        ))
+        if not np.array_equal(got, want):
+            print("[sgg.export] CHECK FAILED: artifact tokens differ",
+                  file=sys.stderr)
+            return 1
+        assert meta2["vocab_tokens"] == list(vocab.tokens)
+        print(f"[sgg.export] check ok: {got.shape} tokens bit-identical",
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
