@@ -38,6 +38,12 @@ def main(argv=None) -> int:
                    help="sampling temperature (default: config tau_min)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets in one artifact")
+    p.add_argument("--with-encoder", action="store_true",
+                   help="encoder configs: bake the frozen backbone into the "
+                        "artifact — pixels in, scene graphs out")
+    p.add_argument("--quant", default=None, choices=["none", "int8"],
+                   help="with --with-encoder: PTQ mode for the baked "
+                        "backbone (overrides cfg.model.quant)")
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and assert bit-identical "
                         "tokens vs the live sampler")
@@ -58,8 +64,19 @@ def main(argv=None) -> int:
     state = restored
 
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
+    enc_params = None
+    quant = ""
+    if args.with_encoder:
+        if cfg.model.encoder == "precomputed" or state.enc_params is None:
+            print("[sgg.export] --with-encoder needs an encoder config",
+                  file=sys.stderr)
+            return 1
+        enc_params = state.enc_params
+        quant = cfg.model.quant if args.quant is None else (
+            "" if args.quant == "none" else args.quant)
     exported, params_flat, meta = export_sampler(
-        cfg, vocab, state.g_params, batch_size=args.batch_size,
+        cfg, vocab, state.g_params, enc_params=enc_params, quant=quant,
+        batch_size=args.batch_size,
         num_samples=args.num_samples, temperature=args.temperature,
         platforms=platforms,
     )
@@ -75,21 +92,33 @@ def main(argv=None) -> int:
 
         call, meta2 = load_artifact(out)
         r = np.random.RandomState(args.seed)
-        feats = np.asarray(
-            r.randn(args.batch_size, cfg.data.regions, cfg.data.feat_dim),
-            np.float32,
-        ).astype(cfg.model.dtype)
+        f32 = lambda t: jax.tree.map(  # noqa: E731
+            lambda p: jax.numpy.asarray(p, jax.numpy.float32), t)
         key = jax.random.key(args.seed)
-        got = np.asarray(call(feats, np.asarray(jax.random.key_data(key))))
         live = make_sampler(
             cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
             tau=args.temperature,
         )
-        want = np.asarray(live(
-            jax.tree.map(lambda p: jax.numpy.asarray(p, jax.numpy.float32),
-                         state.g_params),
-            feats, key,
-        ))
+        if meta2["input"] == "images":
+            from sgg.models.encoders import make_encoder, normalize_for
+
+            s = cfg.data.image_size
+            x = r.randint(0, 256, (args.batch_size, s, s, 3)).astype(np.uint8)
+            enc = make_encoder(
+                cfg.model.encoder, dtype=cfg.model.dtype,
+                image_size=s, moe_experts=cfg.model.moe_experts,
+                moe_top_k=cfg.model.moe_top_k, quant=quant,
+            )
+            feats = enc.apply(f32(state.enc_params),
+                              normalize_for(cfg.model.encoder, x))
+        else:
+            x = np.asarray(
+                r.randn(args.batch_size, cfg.data.regions, cfg.data.feat_dim),
+                np.float32,
+            ).astype(cfg.model.dtype)
+            feats = x
+        got = np.asarray(call(x, np.asarray(jax.random.key_data(key))))
+        want = np.asarray(live(f32(state.g_params), feats, key))
         if not np.array_equal(got, want):
             print("[sgg.export] CHECK FAILED: artifact tokens differ",
                   file=sys.stderr)

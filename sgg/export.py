@@ -54,6 +54,8 @@ def export_sampler(
     vocab,
     g_params,
     *,
+    enc_params=None,
+    quant: str = "",
     batch_size: int = 32,
     num_samples: int = 50,
     temperature: float | None = None,
@@ -62,10 +64,16 @@ def export_sampler(
     """Lower the k-sample triple decoder to StableHLO.
 
     Returns ``(exported, params_flat, meta)`` — feed to :func:`save_artifact`.
-    The exported entry takes ``(params_tuple, feats, key_data)`` with feats
-    fixed at ``[batch_size, regions, feat_dim]`` (static shapes: one
-    compiled program serves every request size via padding, exactly like
-    the serving tier — sgg/serve.py docstring).
+    The exported entry takes ``(params_tuple, x, key_data)`` with static
+    shapes (one compiled program serves every request size via padding,
+    exactly like the serving tier — sgg/serve.py docstring). Two modes:
+
+    - features in (default): ``x = feats[batch, regions, feat_dim]``.
+    - pixels in (``enc_params`` given, encoder configs): the frozen
+      backbone — optionally int8-PTQ'd (``quant='int8'``,
+      sgg.kernels.quant) — runs INSIDE the artifact;
+      ``x = images uint8[batch, H, W, 3]``. This is the reference's whole
+      capability (images → scene graphs, SURVEY.md §3.3) as one file.
     """
     from jax import export as jexport
 
@@ -73,24 +81,54 @@ def export_sampler(
         cfg, step_mask=vocab.step_mask(), num_samples=num_samples,
         tau=temperature,
     )
-    params_flat, treedef = jax.tree.flatten(
-        jax.tree.map(lambda p: jnp.asarray(p, jnp.float32), g_params)
-    )
+    with_encoder = enc_params is not None and cfg.model.encoder != "precomputed"
 
-    def fn(flat, feats, key_data):
-        params = jax.tree.unflatten(treedef, list(flat))
-        return sampler(params, feats, jax.random.wrap_key_data(key_data))
+    def f32(tree):
+        return jax.tree.map(lambda p: jnp.asarray(p, jnp.float32), tree)
 
-    feats_s = jax.ShapeDtypeStruct(
-        (batch_size, cfg.data.regions, cfg.data.feat_dim), cfg.model.dtype
-    )
+    if with_encoder:
+        from sgg.models.encoders import make_encoder, normalize_for
+
+        enc = make_encoder(
+            cfg.model.encoder, dtype=cfg.model.dtype,
+            image_size=cfg.data.image_size,
+            moe_experts=cfg.model.moe_experts,
+            moe_top_k=cfg.model.moe_top_k, quant=quant,
+        )
+        params_flat, treedef = jax.tree.flatten(
+            (f32(enc_params), f32(g_params))
+        )
+
+        def fn(flat, images_u8, key_data):
+            eparams, gparams = jax.tree.unflatten(treedef, list(flat))
+            feats = enc.apply(eparams,
+                              normalize_for(cfg.model.encoder, images_u8))
+            return sampler(gparams, feats,
+                           jax.random.wrap_key_data(key_data))
+
+        s = cfg.data.image_size
+        x_s = jax.ShapeDtypeStruct((batch_size, s, s, 3), jnp.uint8)
+    else:
+        params_flat, treedef = jax.tree.flatten(f32(g_params))
+
+        def fn(flat, feats, key_data):
+            params = jax.tree.unflatten(treedef, list(flat))
+            return sampler(params, feats, jax.random.wrap_key_data(key_data))
+
+        x_s = jax.ShapeDtypeStruct(
+            (batch_size, cfg.data.regions, cfg.data.feat_dim), cfg.model.dtype
+        )
     kd = jax.random.key_data(jax.random.key(0))
     flat_s = tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params_flat)
     exported = jexport.export(jax.jit(fn), platforms=tuple(platforms))(
-        flat_s, feats_s, jax.ShapeDtypeStruct(kd.shape, kd.dtype)
+        flat_s, x_s, jax.ShapeDtypeStruct(kd.shape, kd.dtype)
     )
     meta = {
         "artifact_version": ARTIFACT_VERSION,
+        "input": "images" if with_encoder else "features",
+        "encoder": cfg.model.encoder if with_encoder else "",
+        "quant": quant if with_encoder else "",
+        "image_size": int(cfg.data.image_size) if with_encoder else 0,
         "batch_size": int(batch_size),
         "num_samples": int(num_samples),
         "regions": int(cfg.data.regions),
@@ -121,9 +159,12 @@ def save_artifact(path: str, exported, params_flat, meta: dict) -> None:
 def load_artifact(path: str):
     """Artifact → ``(call, meta)``; needs only jax + numpy.
 
-    ``call(feats[B,R,F], key_data)`` → ``tokens int32[B,K,3]``. ``meta``
-    carries the vocab (``vocab_tokens``) so a consumer can map ids to
-    (subject, predicate, object) strings without any sgg code.
+    ``call(x, key_data)`` → ``tokens int32[B,K,3]`` where ``x`` is
+    ``feats[B,R,F]`` (``meta['input']=='features'``) or
+    ``images uint8[B,H,W,3]`` (``'images'`` — the encoder runs inside the
+    artifact). ``meta`` carries the vocab (``vocab_tokens``) so a consumer
+    can map ids to (subject, predicate, object) strings without any sgg
+    code.
     """
     from jax import export as jexport
 

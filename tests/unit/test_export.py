@@ -85,6 +85,43 @@ def test_artifact_meta_is_self_contained(setup, tmp_path):
     assert all(isinstance(t, str) for t in triples[0][0])
 
 
+@pytest.mark.parametrize("quant", ["", "int8"])
+def test_pixels_artifact_matches_live_pipeline(setup, tmp_path, quant):
+    """Images-in artifact: the baked (optionally int8) backbone + sampler
+    reproduce the live encode→sample path token-for-token."""
+    from sgg.models.encoders import make_encoder, normalize_for
+
+    cfg, vocab, g_params, _ = setup
+    cfg = get_config("smoke")
+    cfg.model.vocab_size = len(vocab)
+    cfg.model.encoder = "vgg19"
+    cfg.data.image_size = 32
+    cfg.data.regions, cfg.data.feat_dim = 4, 512
+    gen, _ = make_models(cfg)
+    r = np.random.RandomState(1)
+    imgs = r.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    enc = make_encoder("vgg19", quant=quant)
+    enc_params = enc.init(jax.random.key(2),
+                          normalize_for("vgg19", jnp.asarray(imgs)))
+    feats = enc.apply(enc_params, normalize_for("vgg19", jnp.asarray(imgs)))
+    z = jnp.asarray(r.randn(2, cfg.model.noise_dim), jnp.float32)
+    gp = gen.init(jax.random.key(0), feats, z, jax.random.key(1))["params"]
+
+    exported, flat, meta = export_sampler(
+        cfg, vocab, gp, enc_params=enc_params, quant=quant,
+        batch_size=2, num_samples=3, platforms=("cpu",),
+    )
+    path = str(tmp_path / f"pix{quant}.sgx")
+    save_artifact(path, exported, flat, meta)
+    call, meta2 = load_artifact(path)
+    assert meta2["input"] == "images" and meta2["quant"] == quant
+    key = jax.random.key(5)
+    got = np.asarray(call(imgs, np.asarray(jax.random.key_data(key))))
+    live = make_sampler(cfg, step_mask=vocab.step_mask(), num_samples=3)
+    want = np.asarray(live(gp, feats, key))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_step_mask_respected_in_artifact(setup, tmp_path):
     """The vocab legality mask is baked into the exported program: subjects/
     objects decode to object tokens, predicates to predicate tokens."""
