@@ -80,6 +80,7 @@ def main(argv=None) -> int:
         num_samples=args.num_samples, temperature=args.temperature,
         platforms=platforms,
     )
+    meta["step"] = int(state.step)
     out = args.out or os.path.join(args.workdir, "model.sgx")
     save_artifact(out, exported, params_flat, meta)
     size_mb = os.path.getsize(out) / 1e6

@@ -26,7 +26,11 @@ from sgg.cli.common import add_platform_arg, apply_platform
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--workdir", required=True, help="trained run directory")
+    p.add_argument("--workdir", default=None, help="trained run directory")
+    p.add_argument("--artifact", default=None,
+                   help="serve an AOT .sgx artifact (sgg.cli.export) instead "
+                        "of a workdir — no checkpoint or model code needed; "
+                        "batch/samples/temperature are baked into it")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8500)
     p.add_argument("--batch-size", type=int, default=32,
@@ -48,20 +52,37 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     apply_platform(args)
 
-    from sgg.serve import DynamicBatcher, InferenceEngine, make_http_server
-
-    mesh = None
-    if args.dp:
-        from sgg.dist.mesh import MeshSpec, make_mesh
-
-        mesh = make_mesh(MeshSpec(data=args.dp))
-    engine = InferenceEngine.from_workdir(
-        args.workdir, batch_size=args.batch_size,
-        num_samples=args.num_samples, temperature=args.temperature,
-        seed=args.seed, mesh=mesh, quant=args.quant,
+    from sgg.serve import (
+        ArtifactEngine,
+        DynamicBatcher,
+        InferenceEngine,
+        make_http_server,
     )
+
+    if bool(args.workdir) == bool(args.artifact):
+        print("[sgg.serve] pass exactly one of --workdir / --artifact",
+              file=sys.stderr)
+        return 2
+    if args.artifact:
+        if args.dp:
+            print("[sgg.serve] --dp needs --workdir (artifacts are compiled "
+                  "single-device programs)", file=sys.stderr)
+            return 2
+        engine = ArtifactEngine(args.artifact, seed=args.seed)
+    else:
+        mesh = None
+        if args.dp:
+            from sgg.dist.mesh import MeshSpec, make_mesh
+
+            mesh = make_mesh(MeshSpec(data=args.dp))
+        engine = InferenceEngine.from_workdir(
+            args.workdir, batch_size=args.batch_size,
+            num_samples=args.num_samples, temperature=args.temperature,
+            seed=args.seed, mesh=mesh, quant=args.quant,
+        )
     print(f"[sgg.serve] restored step {engine.step}; compiling batch "
-          f"{args.batch_size} × {engine.feature_shape} sampler…", flush=True)
+          f"{engine.batch_size} × {engine.feature_shape} sampler…",
+          flush=True)
     dt = engine.warmup()
     batcher = DynamicBatcher(engine, max_wait_ms=args.max_wait_ms)
     server = make_http_server(batcher, host=args.host, port=args.port)

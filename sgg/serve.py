@@ -251,6 +251,115 @@ class InferenceEngine:
                                                            np.uint8)))
 
 
+class ArtifactEngine:
+    """InferenceEngine duck-type backed by an AOT artifact (sgg.export).
+
+    The serving host needs the .sgx file and nothing else — no workdir, no
+    orbax checkpoint, no model code; batch size, sample count, temperature
+    and (for pixels-in artifacts) the whole backbone are baked into the
+    exported StableHLO program. Features-in artifacts serve ``features``
+    requests; pixels-in artifacts serve ``images``/``paths`` requests —
+    each raises a clear error for the other mode (the program's input
+    signature is fixed at export).
+    """
+
+    def __init__(self, path: str, *, seed: int = 0):
+        from sgg.config import get_config
+        from sgg.data.vocab import Vocab
+        from sgg.export import load_artifact
+
+        self._call, meta = load_artifact(path)
+        self.meta = meta
+        self.vocab = Vocab(
+            tokens=list(meta["vocab_tokens"]),
+            is_object=list(meta["vocab_is_object"]),
+            is_predicate=list(meta["vocab_is_predicate"]),
+        )
+        cfg = get_config("smoke")
+        cfg.model.vocab_size = len(self.vocab)
+        cfg.model.encoder = meta.get("encoder") or "precomputed"
+        cfg.model.compute_dtype = meta["feats_dtype"]
+        cfg.data.regions = meta["regions"]
+        cfg.data.feat_dim = meta["feat_dim"]
+        cfg.data.image_size = meta.get("image_size") or 224
+        self.cfg = cfg
+        self.batch_size = int(meta["batch_size"])
+        self.num_samples = int(meta["num_samples"])
+        self.step = int(meta.get("step", -1))
+        self._images_in = meta["input"] == "images"
+        self._rng = jax.random.key(seed)
+        self._lock = threading.Lock()
+
+    @property
+    def feature_shape(self) -> tuple[int, int]:
+        return (self.cfg.data.regions, self.cfg.data.feat_dim)
+
+    def warmup(self) -> float:
+        t0 = time.perf_counter()
+        if self._images_in:
+            s = self.cfg.data.image_size
+            x = np.zeros((self.batch_size, s, s, 3), np.uint8)
+        else:
+            r, f = self.feature_shape
+            x = np.zeros((self.batch_size, r, f), np.float32)
+        np.asarray(self._dispatch(x))
+        return time.perf_counter() - t0
+
+    def _dispatch(self, x: np.ndarray) -> np.ndarray:
+        """One padded/chunked pass through the exported program."""
+        n = x.shape[0]
+        B = self.batch_size
+        out = []
+        for lo in range(0, n, B):
+            chunk = x[lo:lo + B]
+            pad = B - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            if not self._images_in:
+                chunk = jnp.asarray(chunk, self.cfg.model.dtype)
+            with self._lock:
+                self._rng, sub = jax.random.split(self._rng)
+                fut = self._call(chunk, jax.random.key_data(sub))
+            out.append(np.asarray(fut)[: B - pad])
+        return np.concatenate(out) if len(out) > 1 else out[0]
+
+    def _graphs(self, tokens: np.ndarray) -> list[dict]:
+        graphs, _ = assemble_scene_graphs(
+            tokens, self.vocab, np.arange(len(tokens))
+        )
+        for g in graphs:
+            g.pop("image_id", None)
+        return graphs
+
+    def generate(self, feats: np.ndarray) -> list[dict]:
+        if self._images_in:
+            raise ValueError(
+                "this artifact takes images (pixels-in export); POST "
+                "'images' or 'paths' instead of 'features'"
+            )
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 3 or feats.shape[1:] != self.feature_shape:
+            raise ValueError(
+                f"expected features [n, {self.feature_shape[0]}, "
+                f"{self.feature_shape[1]}], got {feats.shape}"
+            )
+        return self._graphs(self._dispatch(feats))
+
+    def generate_from_images(self, images_u8: np.ndarray) -> list[dict]:
+        if not self._images_in:
+            raise ValueError(
+                "this artifact takes precomputed features; POST 'features'"
+            )
+        imgs = np.asarray(images_u8, np.uint8)
+        s = self.cfg.data.image_size
+        if imgs.ndim != 4 or imgs.shape[1:] != (s, s, 3):
+            raise ValueError(f"expected images [n, {s}, {s}, 3], "
+                             f"got {imgs.shape}")
+        return self._graphs(self._dispatch(imgs))
+
+
 class DynamicBatcher:
     """Coalesce concurrent requests into full device batches.
 
