@@ -13,6 +13,8 @@ Layers (SURVEY.md §1.2):
   - ``sgg.train``    — WGAN-GP objective, fused train step, checkpointing
   - ``sgg.cli``      — preprocess / train / generate-scene-graph entry points
   - ``sgg.eval``     — recall@k scene-graph evaluation
+  - ``sgg.serve``    — dynamic-batching HTTP inference tier
+  - ``sgg.export``   — AOT StableHLO artifacts (jax.export) for serving hosts
 """
 
 __version__ = "0.1.0"
