@@ -31,7 +31,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None,
                    help="artifact path (default: workdir/model.sgx)")
     p.add_argument("--batch-size", type=int, default=32,
-                   help="compiled batch (requests pad to it, like serve)")
+                   help="compiled batch (requests pad to it, like serve); "
+                        "0 = shape-polymorphic (any batch, one compile per "
+                        "distinct size at load time)")
     p.add_argument("--num-samples", type=int, default=50,
                    help="noise draws per image baked into the program")
     p.add_argument("--temperature", type=float, default=None,
@@ -93,6 +95,7 @@ def main(argv=None) -> int:
 
         call, meta2 = load_artifact(out)
         r = np.random.RandomState(args.seed)
+        check_b = args.batch_size or 4  # polymorphic exports: any size works
         f32 = lambda t: jax.tree.map(  # noqa: E731
             lambda p: jax.numpy.asarray(p, jax.numpy.float32), t)
         key = jax.random.key(args.seed)
@@ -104,7 +107,7 @@ def main(argv=None) -> int:
             from sgg.models.encoders import make_encoder, normalize_for
 
             s = cfg.data.image_size
-            x = r.randint(0, 256, (args.batch_size, s, s, 3)).astype(np.uint8)
+            x = r.randint(0, 256, (check_b, s, s, 3)).astype(np.uint8)
             enc = make_encoder(
                 cfg.model.encoder, dtype=cfg.model.dtype,
                 image_size=s, moe_experts=cfg.model.moe_experts,
@@ -114,7 +117,7 @@ def main(argv=None) -> int:
                               normalize_for(cfg.model.encoder, x))
         else:
             x = np.asarray(
-                r.randn(args.batch_size, cfg.data.regions, cfg.data.feat_dim),
+                r.randn(check_b, cfg.data.regions, cfg.data.feat_dim),
                 np.float32,
             ).astype(cfg.model.dtype)
             feats = x

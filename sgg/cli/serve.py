@@ -68,7 +68,8 @@ def main(argv=None) -> int:
             print("[sgg.serve] --dp needs --workdir (artifacts are compiled "
                   "single-device programs)", file=sys.stderr)
             return 2
-        engine = ArtifactEngine(args.artifact, seed=args.seed)
+        engine = ArtifactEngine(args.artifact, seed=args.seed,
+                                batch_size=args.batch_size)
     else:
         mesh = None
         if args.dp:

@@ -74,6 +74,13 @@ def export_sampler(
       sgg.kernels.quant) — runs INSIDE the artifact;
       ``x = images uint8[batch, H, W, 3]``. This is the reference's whole
       capability (images → scene graphs, SURVEY.md §3.3) as one file.
+
+    ``batch_size=0`` exports a SHAPE-POLYMORPHIC program (symbolic batch
+    dim): the consumer calls it at any batch. XLA still compiles once per
+    distinct concrete size at call time — through this relay that is
+    20–40 s per new size — so serving hosts should still pad to one batch
+    (ArtifactEngine does); polymorphism buys the consumer the choice of
+    that batch without re-exporting.
     """
     from jax import export as jexport
 
@@ -82,6 +89,10 @@ def export_sampler(
         tau=temperature,
     )
     with_encoder = enc_params is not None and cfg.model.encoder != "precomputed"
+    if batch_size == 0:
+        (bdim,) = jexport.symbolic_shape("batch")
+    else:
+        bdim = int(batch_size)
 
     def f32(tree):
         return jax.tree.map(lambda p: jnp.asarray(p, jnp.float32), tree)
@@ -107,7 +118,7 @@ def export_sampler(
                            jax.random.wrap_key_data(key_data))
 
         s = cfg.data.image_size
-        x_s = jax.ShapeDtypeStruct((batch_size, s, s, 3), jnp.uint8)
+        x_s = jax.ShapeDtypeStruct((bdim, s, s, 3), jnp.uint8)
     else:
         params_flat, treedef = jax.tree.flatten(f32(g_params))
 
@@ -116,7 +127,7 @@ def export_sampler(
             return sampler(params, feats, jax.random.wrap_key_data(key_data))
 
         x_s = jax.ShapeDtypeStruct(
-            (batch_size, cfg.data.regions, cfg.data.feat_dim), cfg.model.dtype
+            (bdim, cfg.data.regions, cfg.data.feat_dim), cfg.model.dtype
         )
     kd = jax.random.key_data(jax.random.key(0))
     flat_s = tuple(jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params_flat)

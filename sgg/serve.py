@@ -263,7 +263,8 @@ class ArtifactEngine:
     signature is fixed at export).
     """
 
-    def __init__(self, path: str, *, seed: int = 0):
+    def __init__(self, path: str, *, seed: int = 0,
+                 batch_size: int | None = None):
         from sgg.config import get_config
         from sgg.data.vocab import Vocab
         from sgg.export import load_artifact
@@ -283,7 +284,10 @@ class ArtifactEngine:
         cfg.data.feat_dim = meta["feat_dim"]
         cfg.data.image_size = meta.get("image_size") or 224
         self.cfg = cfg
-        self.batch_size = int(meta["batch_size"])
+        # Shape-polymorphic artifacts (exported --batch-size 0) accept any
+        # batch, but each distinct size is a fresh XLA compile — so the
+        # server still pads to ONE size, chosen here.
+        self.batch_size = int(meta["batch_size"]) or int(batch_size or 32)
         self.num_samples = int(meta["num_samples"])
         self.step = int(meta.get("step", -1))
         self._images_in = meta["input"] == "images"

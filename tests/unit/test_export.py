@@ -85,6 +85,26 @@ def test_artifact_meta_is_self_contained(setup, tmp_path):
     assert all(isinstance(t, str) for t in triples[0][0])
 
 
+def test_polymorphic_batch_artifact(setup, tmp_path):
+    """batch_size=0 → a shape-polymorphic program callable at any batch."""
+    cfg, vocab, g_params, feats = setup
+    exported, flat, meta = export_sampler(
+        cfg, vocab, g_params, batch_size=0, num_samples=3, platforms=("cpu",),
+    )
+    path = str(tmp_path / "poly.sgx")
+    save_artifact(path, exported, flat, meta)
+    call, meta2 = load_artifact(path)
+    assert meta2["batch_size"] == 0
+    kd = np.asarray(jax.random.key_data(jax.random.key(7)))
+    live = make_sampler(cfg, step_mask=vocab.step_mask(), num_samples=3)
+    for n in (1, 4):
+        f = np.asarray(feats)[:n]
+        got = np.asarray(call(f, kd))
+        want = np.asarray(live(g_params, jnp.asarray(f), jax.random.key(7)))
+        np.testing.assert_array_equal(got, want)
+        assert got.shape == (n, 3, 3)
+
+
 @pytest.mark.parametrize("quant", ["", "int8"])
 def test_pixels_artifact_matches_live_pipeline(setup, tmp_path, quant):
     """Images-in artifact: the baked (optionally int8) backbone + sampler
