@@ -67,6 +67,7 @@ while :; do
     --set train.batch_size=256 --set "train.total_steps=$STEPS" \
     --set train.log_every=200 --set train.checkpoint_every=2000 \
     --set data.rotation_min_steps=1000 \
+    --set train.ema_decay=0.999 \
     --set train.host_rss_exit_gb=95
   rc=$?
   # Relay client can SIGABRT in C++ teardown AFTER a completed run; judge
@@ -79,7 +80,13 @@ done
 [ "$rc" -eq 0 ] || exit 1
 sleep 90
 
-log "stage 5: held-out image recall@50"
+log "stage 5: held-out image recall@50 (+ zero-shot; raw vs EMA weights)"
 python -m sgg.cli.evaluate --workdir "$D/run_v3" --split test \
-  --k 50 --num-samples 100 --batch-size 256 --platform axon || exit 1
+  --k 50 --num-samples 100 --batch-size 256 --zero-shot \
+  --platform axon || exit 1
+sleep 90
+log "stage 5b: same eval through the EMA generator weights (decay 0.999)"
+python -m sgg.cli.evaluate --workdir "$D/run_v3" --split test \
+  --k 50 --num-samples 100 --batch-size 256 --zero-shot --ema \
+  --platform axon || exit 1
 log "done"

@@ -17,7 +17,12 @@ import jax
 import numpy as np
 
 from sgg.cli.common import add_platform_arg, apply_platform, load_dataset
-from sgg.eval import corpus_mean_recall, corpus_recall_multi, make_sampler
+from sgg.eval import (
+    corpus_mean_recall,
+    corpus_recall_multi,
+    corpus_zero_shot_recall,
+    make_sampler,
+)
 from sgg.train.checkpoint import CheckpointManager, load_workdir
 from sgg.train.state import create_train_state
 
@@ -39,6 +44,12 @@ def main(argv=None) -> int:
     p.add_argument("--split", default="test", choices=["train", "test"])
     p.add_argument("--decode", default="xla", choices=["xla", "fused"],
                    help="decode path (see sgg.cli.generate --decode)")
+    p.add_argument("--ema", action="store_true",
+                   help="sample from the EMA generator weights (requires a "
+                        "run trained with train.ema_decay > 0)")
+    p.add_argument("--zero-shot", action="store_true",
+                   help="also report zero-shot recall: recall over held-out "
+                        "GT triples never seen in the training split")
     p.add_argument("--seed", type=int, default=0)
     add_platform_arg(p)
     args = p.parse_args(argv)
@@ -64,6 +75,16 @@ def main(argv=None) -> int:
         print(f"[sgg.evaluate] no checkpoint in {args.workdir}", file=sys.stderr)
         return 1
     state = restored
+    g_params = state.g_params
+    if args.ema:
+        if state.g_ema is None:
+            print(
+                "[sgg.evaluate] --ema: checkpoint has no EMA weights "
+                "(train with train.ema_decay > 0)",
+                file=sys.stderr,
+            )
+            return 1
+        g_params = state.g_ema
 
     if args.decode == "fused":
         from sgg.eval.sampler import make_fused_sampler
@@ -90,7 +111,7 @@ def main(argv=None) -> int:
                 [feats, np.repeat(feats[-1:], B - feats.shape[0], axis=0)]
             )
         rng, sub = jax.random.split(rng)
-        tokens = np.asarray(sampler(state.g_params, feats, sub))
+        tokens = np.asarray(sampler(g_params, feats, sub))
         for j, i in enumerate(idx):
             counts = Counter(tuple(int(x) for x in row) for row in tokens[j])
             gen_triples.append([t for t, _ in counts.most_common()])
@@ -104,6 +125,19 @@ def main(argv=None) -> int:
         f"samples/image={args.num_samples} {rep}",
         flush=True,
     )
+    if args.zero_shot:
+        train_ds, _ = load_dataset(cfg, split="train")
+        seen = {
+            tuple(int(x) for x in t)
+            for trips in train_ds.triples for t in trips
+        }
+        zs, n_zs = corpus_zero_shot_recall(gen_triples, gt_triples, seen, ks)
+        rep = " ".join(f"zsR@{k} = {zs[k]:.4f}" for k in ks)
+        print(
+            f"[sgg.evaluate] zero-shot ({n_zs}/{n_images} images with "
+            f"GT triples unseen in {len(seen)} train triples): {rep}",
+            flush=True,
+        )
     if args.per_predicate:
         kmax = max(ks)
         mr, table = corpus_mean_recall(gen_triples, gt_triples, k=kmax)

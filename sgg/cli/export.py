@@ -49,6 +49,9 @@ def main(argv=None) -> int:
     p.add_argument("--check", action="store_true",
                    help="reload the artifact and assert bit-identical "
                         "tokens vs the live sampler")
+    p.add_argument("--ema", action="store_true",
+                   help="bake the EMA generator weights into the artifact "
+                        "(requires a run trained with train.ema_decay > 0)")
     p.add_argument("--seed", type=int, default=0)
     add_platform_arg(p)
     args = p.parse_args(argv)
@@ -64,6 +67,16 @@ def main(argv=None) -> int:
         print(f"[sgg.export] no checkpoint in {args.workdir}", file=sys.stderr)
         return 1
     state = restored
+    g_params = state.g_params
+    if args.ema:
+        if state.g_ema is None:
+            print(
+                "[sgg.export] --ema: checkpoint has no EMA weights "
+                "(train with train.ema_decay > 0)",
+                file=sys.stderr,
+            )
+            return 1
+        g_params = state.g_ema
 
     platforms = tuple(s.strip() for s in args.platforms.split(",") if s.strip())
     enc_params = None
@@ -77,7 +90,7 @@ def main(argv=None) -> int:
         quant = cfg.model.quant if args.quant is None else (
             "" if args.quant == "none" else args.quant)
     exported, params_flat, meta = export_sampler(
-        cfg, vocab, state.g_params, enc_params=enc_params, quant=quant,
+        cfg, vocab, g_params, enc_params=enc_params, quant=quant,
         batch_size=args.batch_size,
         num_samples=args.num_samples, temperature=args.temperature,
         platforms=platforms,
@@ -122,7 +135,7 @@ def main(argv=None) -> int:
             ).astype(cfg.model.dtype)
             feats = x
         got = np.asarray(call(x, np.asarray(jax.random.key_data(key))))
-        want = np.asarray(live(f32(state.g_params), feats, key))
+        want = np.asarray(live(f32(g_params), feats, key))
         if not np.array_equal(got, want):
             print("[sgg.export] CHECK FAILED: artifact tokens differ",
                   file=sys.stderr)

@@ -50,6 +50,9 @@ def main(argv=None) -> int:
                         "'fused' = one Pallas program per draw with decoder "
                         "weights VMEM-resident (bit-identical tokens; see "
                         "BASELINE.md fused-decode table for when it wins)")
+    p.add_argument("--ema", action="store_true",
+                   help="sample from the EMA generator weights (requires a "
+                        "run trained with train.ema_decay > 0)")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -67,6 +70,16 @@ def main(argv=None) -> int:
         return 1
     state = restored
     print(f"[sgg.generate] restored step {int(state.step)}", flush=True)
+    g_params = state.g_params
+    if args.ema:
+        if state.g_ema is None:
+            print(
+                "[sgg.generate] --ema: checkpoint has no EMA weights "
+                "(train with train.ema_decay > 0)",
+                file=sys.stderr,
+            )
+            return 1
+        g_params = state.g_ema
 
     rng = jax.random.key(args.seed)
 
@@ -158,13 +171,13 @@ def main(argv=None) -> int:
                 np.concatenate([idx, np.repeat(idx[-1:], B - len(idx))])
                 if len(idx) < B else idx
             )
-            fut = sampler(state.g_params, feats_dev, pad_idx, sub)
+            fut = sampler(g_params, feats_dev, pad_idx, sub)
         else:
             feats = batch_features(idx)
             if feats.shape[0] < B:  # pad to the compiled batch shape
                 pad = np.repeat(feats[-1:], B - feats.shape[0], axis=0)
                 feats = np.concatenate([feats, pad], axis=0)
-            fut = sampler(state.g_params, feats, sub)
+            fut = sampler(g_params, feats, sub)
         return idx, fut  # async device call
 
     graphs, gen_triples, gt_triples = [], [], []

@@ -48,6 +48,9 @@ def main(argv=None) -> int:
     p.add_argument("--quant", default=None, choices=["none", "int8"],
                    help="encoder PTQ mode (overrides cfg.model.quant): int8 "
                         "runs the backbone s8×s8→s32 on the MXU")
+    p.add_argument("--ema", action="store_true",
+                   help="serve the EMA generator weights (requires a run "
+                        "trained with train.ema_decay > 0)")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -79,7 +82,7 @@ def main(argv=None) -> int:
         engine = InferenceEngine.from_workdir(
             args.workdir, batch_size=args.batch_size,
             num_samples=args.num_samples, temperature=args.temperature,
-            seed=args.seed, mesh=mesh, quant=args.quant,
+            seed=args.seed, mesh=mesh, quant=args.quant, ema=args.ema,
         )
     print(f"[sgg.serve] restored step {engine.step}; compiling batch "
           f"{engine.batch_size} × {engine.feature_shape} sampler…",

@@ -134,6 +134,13 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_every: int = 1000
     max_checkpoints: int = 3
+    # Exponential moving average of the generator weights, the standard
+    # GAN inference-time smoother (Yazici et al. 2019; Karras et al. use
+    # 0.999): ema = decay*ema + (1-decay)*params after every generator
+    # update, initialized from the init params. 0 = off (no extra state,
+    # no extra compute). Evaluate/generate/export read it via --ema; the
+    # training trajectory itself is unchanged either way.
+    ema_decay: float = 0.0
     # Host-RSS watchdog: when > 0 and the process RSS exceeds this many GB
     # at a checkpoint boundary, checkpoint and exit(75) so a supervisor can
     # relaunch (auto-resume continues the run). Exists because this

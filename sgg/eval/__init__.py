@@ -17,6 +17,7 @@ from sgg.eval.recall import (
     corpus_mean_recall,
     corpus_recall,
     corpus_recall_multi,
+    corpus_zero_shot_recall,
     recall_at_k,
 )
 
@@ -31,4 +32,5 @@ __all__ = [
     "corpus_recall",
     "corpus_recall_multi",
     "corpus_mean_recall",
+    "corpus_zero_shot_recall",
 ]

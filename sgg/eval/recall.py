@@ -90,6 +90,45 @@ def corpus_recall_multi(
     return {k: sums[k] / n for k in ks}
 
 
+def corpus_zero_shot_recall(
+    per_image_generated: list,
+    per_image_gt: list,
+    train_triples: set,
+    ks: list[int],
+) -> tuple[dict[int, float], int]:
+    """Zero-shot recall@k: recall over GT triples NEVER seen in training.
+
+    The standard zsR@k protocol (Lu et al. 2016, kept by the scene-graph
+    literature since): restrict each image's ground truth to the
+    (subject, predicate, object) combinations absent from the training
+    split, then macro-average recall@k over the images that still have any.
+    High recall@k with low zsR@k means the model memorizes the training
+    triple distribution rather than composing from the image. Returns
+    ``({k: recall}, n_images_with_zero_shot_gt)``.
+    """
+    sums = {k: 0.0 for k in ks}
+    n_zs = 0
+    if not ks:
+        return sums, 0
+    kmax = max(ks)
+    for gen, gt_list in zip(per_image_generated, per_image_gt):
+        gt = {tuple(int(x) for x in t)
+              for t in np.asarray(gt_list).reshape(-1, 3)}
+        gt -= train_triples
+        if not gt:
+            continue
+        n_zs += 1
+        top = _dedup_top(gen, kmax)
+        hit_rank = [t in gt for t in top]
+        cum = np.cumsum(hit_rank) if top else np.zeros(0)
+        for k in ks:
+            hits = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+            sums[k] += hits / len(gt)
+    if n_zs == 0:
+        return {k: 0.0 for k in ks}, 0
+    return {k: sums[k] / n_zs for k in ks}, n_zs
+
+
 def corpus_mean_recall(
     per_image_generated: list, per_image_gt: list, k: int = 50
 ) -> tuple[float, dict[int, tuple[float, int]]]:

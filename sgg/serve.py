@@ -103,7 +103,8 @@ class InferenceEngine:
 
     def __init__(self, cfg, vocab, state, *, batch_size: int = 32,
                  num_samples: int = 50, temperature: float | None = None,
-                 seed: int = 0, mesh=None, quant: str | None = None):
+                 seed: int = 0, mesh=None, quant: str | None = None,
+                 ema: bool = False):
         if quant is not None:  # CLI override of cfg.model.quant
             cfg.model.quant = "" if quant == "none" else quant
         self.cfg = cfg
@@ -111,10 +112,18 @@ class InferenceEngine:
         self.batch_size = int(batch_size)
         self.num_samples = int(num_samples)
         self.step = int(state.step)
+        g_params = state.g_params
+        if ema:
+            if state.g_ema is None:
+                raise ValueError(
+                    "ema=True but the checkpoint has no EMA weights "
+                    "(train with train.ema_decay > 0)"
+                )
+            g_params = state.g_ema
         # Commit params to device ONCE. A numpy pytree handed to a jitted fn
         # re-uploads per call on this machine (NOTES.md: 80 MB/batch dragged
         # extraction 50→6 img/s); orbax may restore to host arrays.
-        self._g_params = jax.tree.map(jnp.asarray, state.g_params)
+        self._g_params = jax.tree.map(jnp.asarray, g_params)
         if mesh is not None:
             # Multi-chip serving: shard the padded batch over 'data'
             # (bit-identical tokens to the single-device sampler — every

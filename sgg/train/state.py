@@ -29,6 +29,10 @@ class GANTrainState:
     # Frozen backbone weights for end-to-end (on-device features) configs;
     # None when features are precomputed. Not touched by any optimizer.
     enc_params: Any = None
+    # EMA of g_params (train.ema_decay > 0), used at inference via --ema.
+    # None when EMA is off — an empty pytree node, so checkpoints written
+    # before this field existed restore unchanged.
+    g_ema: Any = None
 
 
 def make_models(cfg: Config):
@@ -116,6 +120,12 @@ def create_train_state(
         d_opt_state=d_tx.init(d_params),
         rng=r_state,
         enc_params=enc_params,
+        # jnp.copy, not an alias: the fused step donates the whole state, and
+        # two leaves sharing one buffer trip XLA's double-donation check.
+        g_ema=(
+            jax.tree.map(jnp.copy, g_params)
+            if cfg.train.ema_decay > 0 else None
+        ),
     )
 
 

@@ -263,6 +263,19 @@ def make_step_fn(
             )
             g_params = optax.apply_updates(state.g_params, g_updates)
 
+        # EMA of the generator weights (train.ema_decay > 0): one fused
+        # multiply-add per param tensor, inside the same compiled step.
+        # Off by default — g_ema stays the empty None node and the traced
+        # program is unchanged.
+        if cfg.train.ema_decay > 0:
+            d = jnp.asarray(cfg.train.ema_decay)
+            g_ema = jax.tree.map(
+                lambda e, p: (e * d + p * (1 - d)).astype(e.dtype),
+                state.g_ema, g_params,
+            )
+        else:
+            g_ema = state.g_ema
+
         metrics = {k: v[-1] for k, v in d_aux.items()}  # last critic iter
         metrics.update(g_aux)
         metrics["tau"] = tau
@@ -276,6 +289,7 @@ def make_step_fn(
             d_opt_state=d_opt_state,
             rng=state.rng,
             enc_params=state.enc_params,
+            g_ema=g_ema,
         )
         return new_state, metrics
 

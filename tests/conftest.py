@@ -23,6 +23,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402  (must come after XLA_FLAGS is set)
 
 jax.config.update("jax_platforms", "cpu")
+# Also export the env var: jax itself has already captured the environment
+# (sitecustomize imports jax first — hence the config.update above), but
+# sgg.utils.axon.ensure_live_terminal keys off JAX_PLATFORMS to decide
+# whether to probe relay terminals. Without this, every CLI-driving test
+# probes the LIVE TPU relay from a CPU test run — burning minutes per probe
+# and racing any real training job for terminal claims (observed round 3:
+# a test pinned the shared /tmp terminal cache to the spare 8112 group
+# while a pipeline was mid-run).
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 # Make the repo root importable regardless of how pytest is invoked.
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -126,3 +126,48 @@ def test_train_grain_loader_exact_resume(pipedir, capsys):
     out = capsys.readouterr().out
     assert "grain iterator state restored" in out
     assert (ckdir / "data_iter_8.bin").exists()
+
+
+def test_train_ema_and_evaluate_zero_shot(tmp_path, capsys):
+    """EMA weights train + restore + sample via --ema; --zero-shot reports
+    recall over held-out GT triples unseen in the training split."""
+    from sgg.cli import evaluate as cli_evaluate
+
+    data = tmp_path / "data"
+    assert cli_preprocess.main(
+        ["--out-dir", str(data), "--synthetic", "64",
+         "--regions", "9", "--feat-dim", "16"]
+    ) == 0
+    wd = tmp_path / "run_ema"
+
+    def train_args(workdir, *, ema):
+        a = [
+            "--config", "smoke",
+            "--workdir", str(workdir),
+            "--set", "data.source=shards",
+            "--set", f"data.data_dir={data}",
+            "--set", "data.regions=9",
+            "--set", "data.feat_dim=16",
+            "--set", "train.checkpoint_every=5",
+        ]
+        if ema:
+            a += ["--set", "train.ema_decay=0.9"]
+        return a + ["--steps", "5"]
+
+    assert cli_train.main(train_args(wd, ema=True)) == 0
+    rc = cli_evaluate.main(
+        ["--workdir", str(wd), "--k", "10", "--num-samples", "4",
+         "--num-images", "6", "--batch-size", "4", "--ema", "--zero-shot"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "zsR@10" in out and "zero-shot" in out
+
+    # --ema against a run trained WITHOUT EMA fails cleanly, not mid-sample.
+    wd2 = tmp_path / "run_plain"
+    assert cli_train.main(train_args(wd2, ema=False)) == 0
+    rc = cli_evaluate.main(
+        ["--workdir", str(wd2), "--k", "10",
+         "--num-samples", "4", "--num-images", "4", "--ema"]
+    )
+    assert rc == 1

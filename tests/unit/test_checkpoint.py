@@ -149,3 +149,46 @@ def test_pinned_format_fixture_restores():
         np.isfinite(np.asarray(x)).all()
         for x in jax.tree.leaves(restored.g_opt_state)
     )
+
+
+def test_old_checkpoint_restores_into_ema_state(tmp_path):
+    """A checkpoint written with EMA off (g_ema=None) restores into an
+    EMA-on state: all shared leaves load, g_ema keeps its init (= init
+    g_params), and training can continue."""
+    old = _cfg()
+    st = create_train_state(old, jax.random.key(0)).replace(step=jnp.int32(5))
+    assert st.g_ema is None
+    ck = CheckpointManager(str(tmp_path), old)
+    ck.save(st)
+    ck.wait()
+
+    new = _cfg()
+    new.train.ema_decay = 0.99
+    init = create_train_state(new, jax.random.key(3))
+    restored = CheckpointManager(str(tmp_path), new).restore(init)
+    assert int(restored.step) == 5
+    for a, b in zip(jax.tree.leaves(st.g_params), jax.tree.leaves(restored.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # g_ema fell back to the fresh init values (not the checkpoint's params).
+    for a, b in zip(jax.tree.leaves(init.g_ema), jax.tree.leaves(restored.g_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    """With EMA on, g_ema round-trips bit-exactly through orbax."""
+    cfg = _cfg()
+    cfg.train.ema_decay = 0.99
+    st = create_train_state(cfg, jax.random.key(0))
+    st = st.replace(
+        step=jnp.int32(2),
+        g_ema=jax.tree.map(lambda p: p * 0.5, st.g_params),
+    )
+    ck = CheckpointManager(str(tmp_path), cfg)
+    ck.save(st)
+    ck.wait()
+
+    restored = CheckpointManager(str(tmp_path), cfg).restore(
+        create_train_state(cfg, jax.random.key(8))
+    )
+    for a, b in zip(jax.tree.leaves(st.g_ema), jax.tree.leaves(restored.g_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -70,3 +70,44 @@ def test_corpus_mean_recall_respects_topk_cut():
     gen = [[(9, 9, 9), (8, 8, 8), (1, 1, 2)]]  # hit at rank 3
     assert corpus_mean_recall(gen, gt, k=2)[0] == 0.0
     assert corpus_mean_recall(gen, gt, k=3)[0] == 1.0
+
+
+def test_zero_shot_recall_filters_train_triples():
+    from sgg.eval import corpus_zero_shot_recall
+
+    # Image 0: GT {A, B}; A seen in training, B not. Generated hits both.
+    A, B_ = (1, 2, 3), (4, 5, 6)
+    gen = [[A, B_]]
+    gt = [[A, B_]]
+    zs, n = corpus_zero_shot_recall(gen, gt, {A}, [50])
+    assert n == 1
+    assert zs[50] == 1.0  # only B counts, and it was hit
+    # Miss the zero-shot triple entirely:
+    zs2, _ = corpus_zero_shot_recall([[A]], gt, {A}, [50])
+    assert zs2[50] == 0.0
+
+
+def test_zero_shot_recall_skips_images_without_unseen_gt():
+    from sgg.eval import corpus_zero_shot_recall
+
+    A, B_ = (1, 2, 3), (4, 5, 6)
+    # Image 0 has only seen GT -> excluded from the macro average entirely.
+    gen = [[A], [B_]]
+    gt = [[A], [B_]]
+    zs, n = corpus_zero_shot_recall(gen, gt, {A}, [10, 50])
+    assert n == 1
+    assert zs[10] == 1.0 and zs[50] == 1.0
+    # No image has unseen GT:
+    zs0, n0 = corpus_zero_shot_recall([[A]], [[A]], {A}, [50])
+    assert n0 == 0 and zs0[50] == 0.0
+
+
+def test_zero_shot_recall_respects_topk_cut():
+    from sgg.eval import corpus_zero_shot_recall
+
+    unseen = (9, 9, 9)
+    filler = [(i, 0, 0) for i in range(10)]
+    gen = [filler + [unseen]]  # unseen lands at rank 11
+    gt = [[unseen]]
+    zs, _ = corpus_zero_shot_recall(gen, gt, set(), [10, 20])
+    assert zs[10] == 0.0 and zs[20] == 1.0

@@ -125,3 +125,48 @@ def test_step_mask_constrains_generated_tokens(smoke_cfg):
     batch = _rand_batch(2, smoke_cfg.train.n_critic + 1)
     _, metrics = step(state, batch)
     assert np.isfinite(float(metrics["d_loss"]))
+
+
+def test_ema_off_by_default(smoke_cfg):
+    assert smoke_cfg.train.ema_decay == 0.0
+    state = create_train_state(smoke_cfg, jax.random.key(0))
+    assert state.g_ema is None
+    step = make_train_step(smoke_cfg, donate=False)
+    new_state, _ = step(state, _rand_batch(3, smoke_cfg.train.n_critic + 1))
+    assert new_state.g_ema is None
+
+
+def test_ema_tracks_generator(smoke_cfg):
+    """g_ema follows ema = d*ema + (1-d)*params exactly, step over step."""
+    cfg = smoke_cfg
+    cfg.train.ema_decay = 0.9
+    try:
+        state = create_train_state(cfg, jax.random.key(0))
+        # Initialized from the init params.
+        for e, p in zip(jax.tree.leaves(state.g_ema), jax.tree.leaves(state.g_params)):
+            np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+        step = make_train_step(cfg, donate=False)
+        batch = _rand_batch(4, cfg.train.n_critic + 1)
+        s1, _ = step(state, batch)
+        for e0, p1, e1 in zip(
+            jax.tree.leaves(state.g_ema),
+            jax.tree.leaves(s1.g_params),
+            jax.tree.leaves(s1.g_ema),
+        ):
+            want = 0.9 * np.asarray(e0, np.float64) + 0.1 * np.asarray(p1, np.float64)
+            np.testing.assert_allclose(
+                np.asarray(e1, np.float64), want, rtol=2e-5, atol=2e-6
+            )
+        # Second step compounds: EMA now differs from both init and params.
+        s2, _ = step(s1, _rand_batch(5, cfg.train.n_critic + 1))
+        for e1, p2, e2 in zip(
+            jax.tree.leaves(s1.g_ema),
+            jax.tree.leaves(s2.g_params),
+            jax.tree.leaves(s2.g_ema),
+        ):
+            want = 0.9 * np.asarray(e1, np.float64) + 0.1 * np.asarray(p2, np.float64)
+            np.testing.assert_allclose(
+                np.asarray(e2, np.float64), want, rtol=2e-5, atol=2e-6
+            )
+    finally:
+        cfg.train.ema_decay = 0.0
