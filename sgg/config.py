@@ -125,6 +125,21 @@ class TrainConfig:
     # Default True so programmatic Config() users get the measured-good
     # estimator; defaults match the shipped training configs (ADVICE r2).
     hard: bool = True
+    # Generator credit-assignment scheme over the discrete triple tokens
+    # (SURVEY.md §7 hard part #1 names both options):
+    #   "gumbel"    — pathwise: the critic consumes the Gumbel-softmax
+    #                 relaxation (soft, or straight-through per `hard`) and
+    #                 grads flow through it. The reference's scheme.
+    #   "reinforce" — score-function: exact categorical samples (gumbel-max,
+    #                 detached one-hot feedback), reward = critic score,
+    #                 leave-one-out batch baseline, surrogate
+    #                 −E[(r−b)·Σₜ log πₜ(tokenₜ)]. No grads through the
+    #                 critic input; `tau`/`hard` are inert for the G update
+    #                 (critic updates still sample fakes per `hard`).
+    estimator: str = "gumbel"
+    # Entropy bonus coefficient for estimator="reinforce" (0 = off): adds
+    # −coef·E[H(πₜ)] to the surrogate to slow early policy collapse.
+    rl_entropy: float = 0.0
     # Unroll factor for the critic-iteration scan inside the fused step
     # (clamped to n_critic). n_critic is tiny (typically 5), so full unroll
     # costs little compile time and measured +8.7% step throughput on v5e

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from sgg.models.attention import AdditiveAttention
 from sgg.models.lstm import TF1LSTMCell
-from sgg.utils.gumbel import gumbel_softmax
+from sgg.utils.gumbel import gumbel_softmax, sample_gumbel
 
 TRIPLE_LEN = 3  # (subject, predicate, object)
 
@@ -52,7 +52,18 @@ class AttentionLSTMGenerator(nn.Module):
         tau: float | jnp.ndarray = 1.0,
         hard: bool = False,
         step_mask: jnp.ndarray | None = None,  # bool[3, V] from Vocab.step_mask()
+        detach_sample: bool = False,
     ) -> dict[str, jnp.ndarray]:
+        """Decode one triple per image.
+
+        ``detach_sample=True`` is the score-function (REINFORCE) sampling
+        mode: tokens are exact categorical draws via gumbel-max, the one-hot
+        fed back through the embedding is ``stop_gradient``-ed (the sampled
+        prefix is a CONSTANT of the autoregressive factorization — only the
+        embedding table itself keeps gradients through later steps), and the
+        output gains ``log_prob`` — float32[B], Σₜ log πₜ(tokenₜ | prefix).
+        ``tau``/``hard`` are inert in this mode.
+        """
         feats = feats.astype(self.dtype)
         z = z.astype(self.dtype)
         B = feats.shape[0]
@@ -93,7 +104,7 @@ class AttentionLSTMGenerator(nn.Module):
         if step_mask is not None:
             step_mask = jnp.asarray(step_mask, bool)
 
-        soft_steps, logit_steps, attn_steps = [], [], []
+        soft_steps, logit_steps, attn_steps, logp_steps = [], [], [], []
         for t in range(TRIPLE_LEN):
             ctx, alpha = attention(feats, h, proj_feats)
             x = jnp.concatenate([ctx, prev_emb, z], axis=-1)
@@ -105,17 +116,36 @@ class AttentionLSTMGenerator(nn.Module):
                 logits = jnp.where(step_mask[t][None, :], logits,
                                    jnp.asarray(-1e9, logits.dtype))
             rng, sub = jax.random.split(rng)
-            y = gumbel_softmax(sub, logits.astype(jnp.float32), tau=tau,
-                               hard=hard).astype(self.dtype)
+            logits32 = logits.astype(jnp.float32)
+            if detach_sample:
+                # Gumbel-max: argmax(logits + g) is an EXACT draw from
+                # Categorical(softmax(logits)) — no relaxation, no tau.
+                g = sample_gumbel(sub, logits32.shape, jnp.float32)
+                idx = jnp.argmax(logits32 + g, axis=-1)
+                y = jax.lax.stop_gradient(
+                    jax.nn.one_hot(idx, self.vocab_size, dtype=jnp.float32)
+                ).astype(self.dtype)
+                logp_steps.append(
+                    jnp.take_along_axis(
+                        jax.nn.log_softmax(logits32, axis=-1),
+                        idx[:, None], axis=-1,
+                    )[:, 0]
+                )
+            else:
+                y = gumbel_softmax(sub, logits32, tau=tau,
+                                   hard=hard).astype(self.dtype)
             prev_emb = y @ embedding
             soft_steps.append(y)
             logit_steps.append(logits)
             attn_steps.append(alpha)
 
         soft = jnp.stack(soft_steps, axis=1)  # [B, 3, V]
-        return {
+        out = {
             "soft": soft,
             "logits": jnp.stack(logit_steps, axis=1),
             "attention": jnp.stack(attn_steps, axis=1),  # [B, 3, R]
             "tokens": jnp.argmax(soft, axis=-1),  # [B, 3] int
         }
+        if detach_sample:
+            out["log_prob"] = sum(logp_steps)  # float32[B]
+        return out

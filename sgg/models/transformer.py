@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from sgg.models.generator import TRIPLE_LEN
-from sgg.utils.gumbel import gumbel_softmax
+from sgg.utils.gumbel import gumbel_softmax, sample_gumbel
 
 
 class _CrossAttention(nn.Module):
@@ -61,6 +61,7 @@ class TransformerTripleGenerator(nn.Module):
         tau: float | jnp.ndarray = 1.0,
         hard: bool = False,
         step_mask: jnp.ndarray | None = None,
+        detach_sample: bool = False,
     ) -> dict[str, jnp.ndarray]:
         feats = feats.astype(self.dtype)
         z = z.astype(self.dtype)
@@ -112,9 +113,28 @@ class TransformerTripleGenerator(nn.Module):
             m = jnp.asarray(step_mask, bool)[None, :, :]
             logits = jnp.where(m, logits, jnp.asarray(-1e9, logits.dtype))
 
-        y = gumbel_softmax(
-            rng, logits.astype(jnp.float32), tau=tau, hard=hard
-        ).astype(self.dtype)
+        logits32 = logits.astype(jnp.float32)
+        if detach_sample:
+            # Score-function (REINFORCE) sampling mode — see the LSTM
+            # generator's docstring. The slot decoder is non-autoregressive,
+            # so the three tokens are independent draws given the slots:
+            # log_prob is just the sum of the three per-slot log-softmaxes.
+            g = sample_gumbel(rng, logits32.shape, jnp.float32)
+            idx = jnp.argmax(logits32 + g, axis=-1)  # [B, 3]
+            y = jax.lax.stop_gradient(
+                jax.nn.one_hot(idx, self.vocab_size, dtype=jnp.float32)
+            ).astype(self.dtype)
+            log_prob = jnp.take_along_axis(
+                jax.nn.log_softmax(logits32, axis=-1), idx[..., None], axis=-1
+            )[..., 0].sum(axis=-1)  # float32[B]
+            return {
+                "soft": y,
+                "logits": logits,
+                "attention": attn_map,
+                "tokens": idx,
+                "log_prob": log_prob,
+            }
+        y = gumbel_softmax(rng, logits32, tau=tau, hard=hard).astype(self.dtype)
         return {
             "soft": y,
             "logits": logits,

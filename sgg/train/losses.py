@@ -78,3 +78,52 @@ def generator_loss(
     fake_score = critic_apply(d_params, feats, fake)
     loss = -fake_score.mean()
     return loss, {"g_loss": loss, "g_fake_score": fake_score.mean()}
+
+
+def reinforce_generator_loss(
+    critic_apply: CriticApply,
+    d_params,
+    feats: jnp.ndarray,
+    fake: jnp.ndarray,  # one-hot [B, 3, V], already detached by the sampler
+    log_prob: jnp.ndarray,  # float32[B], Σₜ log πₜ(tokenₜ) — carries ∇θ
+    logits: jnp.ndarray | None = None,  # [B, 3, V] for the entropy bonus
+    entropy_coef: float = 0.0,
+) -> tuple[jnp.ndarray, dict]:
+    """Score-function generator objective (SURVEY.md §7 hard part #1).
+
+    ∇θ E[D(x)] = E[(D(x) − b)·∇θ log πθ(x)] with x an exact categorical
+    sample and b a leave-one-out batch baseline (mean of the OTHER rewards,
+    so the estimator stays unbiased: b_i ⟂ x_i). The critic score is the
+    reward and is fully detached — no gradient flows through the critic
+    input, which is what distinguishes this from the Gumbel pathwise
+    estimator. Optional entropy bonus −coef·E[H(πₜ)] slows early collapse
+    onto a few triples.
+    """
+    reward = jax.lax.stop_gradient(
+        critic_apply(d_params, feats, fake).astype(jnp.float32)
+    )
+    B = reward.shape[0]
+    if B > 1:
+        baseline = (reward.sum() - reward) / (B - 1)
+    else:
+        baseline = jnp.zeros_like(reward)
+    adv = reward - baseline
+    loss = -(adv * log_prob.astype(jnp.float32)).mean()
+    aux = {
+        # g_loss keeps the pathwise path's meaning (−E[D(fake)]) so curves
+        # stay comparable across estimators; the surrogate is its own key.
+        "g_loss": -reward.mean(),
+        "g_fake_score": reward.mean(),
+        "rl_surrogate": loss,
+        "rl_adv_std": adv.std(),
+        "rl_log_prob": log_prob.mean(),
+    }
+    if entropy_coef and logits is not None:
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # Masked-out vocab entries sit at ~−1e9: p underflows to exactly 0
+        # and 0·lp contributes nothing, so no explicit mask is needed.
+        ent = -(jnp.exp(lp) * lp).sum(-1).mean()
+        loss = loss - entropy_coef * ent
+        aux["rl_entropy"] = ent
+        aux["rl_surrogate"] = loss
+    return loss, aux

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 
 from sgg.config import Config
-from sgg.train.losses import critic_loss, generator_loss
+from sgg.train.losses import critic_loss, generator_loss, reinforce_generator_loss
 from sgg.train.state import GANTrainState, make_models, make_optimizers
 
 
@@ -139,9 +139,33 @@ def make_step_fn(
             gp_lambda=cfg.train.gp_lambda, drift=cfg.train.drift,
         )
 
-    def g_loss_fn(g_params, d_params, feats, rng, tau):
-        fake = sample_fake(g_params, feats, rng, tau)
-        return generator_loss(critic_apply, d_params, feats, fake)
+    if cfg.train.estimator == "gumbel":
+
+        def g_loss_fn(g_params, d_params, feats, rng, tau):
+            fake = sample_fake(g_params, feats, rng, tau)
+            return generator_loss(critic_apply, d_params, feats, fake)
+
+    elif cfg.train.estimator == "reinforce":
+
+        def g_loss_fn(g_params, d_params, feats, rng, tau):
+            rng_z, rng_g = jax.random.split(rng)
+            z = jax.random.normal(
+                rng_z, (feats.shape[0], cfg.model.noise_dim), cfg.model.dtype
+            )
+            out = gen.apply(
+                {"params": g_params}, feats, z, rng_g, tau=tau,
+                hard=True, step_mask=mask, detach_sample=True,
+            )
+            return reinforce_generator_loss(
+                critic_apply, d_params, feats, out["soft"], out["log_prob"],
+                logits=out["logits"], entropy_coef=cfg.train.rl_entropy,
+            )
+
+    else:
+        raise ValueError(
+            f"unknown train.estimator {cfg.train.estimator!r} "
+            "(expected 'gumbel' or 'reinforce')"
+        )
 
     def maybe_pmean(tree):
         if axis_name is None:

@@ -151,3 +151,60 @@ def test_gradient_flows_generator_through_critic(feats):
         float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)
     )
     assert total > 0, "no gradient reached the generator parameters"
+
+
+def test_generator_detach_sample_mode(feats):
+    """REINFORCE sampling mode: exact one-hot tokens, correct log_prob,
+    and NO gradient through the sampled one-hots (only through log_prob)."""
+    gen, params, _ = _gen_and_params(feats)
+    z = jnp.asarray(np.random.RandomState(3).randn(B, 8), jnp.float32)
+    out = gen.apply(params, feats, z, jax.random.key(4), detach_sample=True)
+
+    s = np.asarray(out["soft"])
+    assert ((s == 0) | (s == 1)).all() and (s.sum(-1) == 1).all()
+    np.testing.assert_array_equal(
+        np.asarray(out["tokens"]), s.argmax(-1)
+    )
+    # log_prob == Σₜ log_softmax(logits)[token] recomputed from the outputs.
+    lp = np.asarray(
+        jnp.take_along_axis(
+            jax.nn.log_softmax(out["logits"].astype(jnp.float32), -1),
+            out["tokens"][..., None], axis=-1,
+        )[..., 0].sum(-1)
+    )
+    np.testing.assert_allclose(np.asarray(out["log_prob"]), lp, rtol=1e-5)
+    assert (lp <= 0).all() and np.isfinite(lp).all()
+
+    # The one-hot sample is fully detached …
+    g_soft = jax.grad(
+        lambda p: (gen.apply(p, feats, z, jax.random.key(4),
+                             detach_sample=True)["soft"] ** 2).sum()
+    )(params)
+    assert all(float(jnp.abs(g).sum()) == 0 for g in jax.tree.leaves(g_soft))
+    # … while log_prob carries gradients to every parameter path.
+    g_lp = jax.grad(
+        lambda p: gen.apply(p, feats, z, jax.random.key(4),
+                            detach_sample=True)["log_prob"].sum()
+    )(params)
+    assert sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(g_lp)) > 0
+
+
+def test_transformer_detach_sample_mode(feats):
+    from sgg.models.transformer import TransformerTripleGenerator
+
+    gen = TransformerTripleGenerator(
+        vocab_size=V, hidden=32, embed_dim=16, noise_dim=8,
+        num_heads=4, num_layers=1,
+    )
+    z = jnp.asarray(np.random.RandomState(5).randn(B, 8), jnp.float32)
+    params = gen.init(jax.random.key(0), feats, z, jax.random.key(1))
+    out = gen.apply(params, feats, z, jax.random.key(6), detach_sample=True)
+    s = np.asarray(out["soft"])
+    assert ((s == 0) | (s == 1)).all() and (s.sum(-1) == 1).all()
+    lp = np.asarray(
+        jnp.take_along_axis(
+            jax.nn.log_softmax(out["logits"].astype(jnp.float32), -1),
+            out["tokens"][..., None], axis=-1,
+        )[..., 0].sum(-1)
+    )
+    np.testing.assert_allclose(np.asarray(out["log_prob"]), lp, rtol=1e-5)
