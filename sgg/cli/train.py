@@ -120,6 +120,17 @@ def main(argv=None) -> int:
     # (zero per-step host traffic); host prefetch iterator otherwise.
     from sgg.data import TripleDataset, make_device_train_iterator
 
+    if cfg.data.predicate_balance > 0 and isinstance(ds, TripleDataset):
+        # Long-tail resampling: every loader below reads the weights off the
+        # dataset (host/grain via sample_batch, device iterators via the
+        # in-jit inverse-CDF path).
+        ds.set_predicate_balance(cfg.data.predicate_balance)
+        print(
+            f"[sgg.train] predicate-balanced triple sampling "
+            f"(alpha={cfg.data.predicate_balance})",
+            flush=True,
+        )
+
     # Device-resident data commits process-local arrays, which cannot satisfy
     # a non-addressable global sharding — multi-host runs must take the
     # host-prefetch path (it builds global arrays via

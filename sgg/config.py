@@ -94,6 +94,14 @@ class DataConfig:
     # device_resident_max_bytes/2 (two subsets alive across a swap).
     rotate_subsets: bool = True
     rotation_min_steps: int = 0  # floor on steps per subset before swapping
+    # Predicate-balanced triple sampling (the standard SGG long-tail
+    # resampling lever): weight each image's triples by
+    # global-predicate-frequency^(−alpha) when drawing the per-image triple.
+    # 0 = uniform (reference behavior); 1 = every predicate equally likely
+    # within an image's own triples. Training-time only — evaluation always
+    # scores the full ground truth. Targets mR@k (BASELINE.md pipeline-v3:
+    # tail predicates at recall@100 ≈ 0.02 vs head ≈ 0.39 under uniform).
+    predicate_balance: float = 0.0
 
 
 @dataclass

@@ -113,3 +113,99 @@ def test_device_put_features_in_place_chunks():
 
     single = device_put_features(x)  # fits one chunk
     assert np.array_equal(np.asarray(single), x)
+
+
+def _balance_ds():
+    """4 images × 2 triples each: predicate 1 appears 7×, predicate 2 once
+    (image 3 pairs them), so freq-weights are exactly computable."""
+    feats = np.random.RandomState(0).randn(4, 7, 8).astype(np.float32)
+    triples = [
+        np.array([[1, 1, 2], [3, 1, 4]], np.int32),
+        np.array([[5, 1, 6], [7, 1, 8]], np.int32),
+        np.array([[1, 1, 4], [5, 1, 2]], np.int32),
+        np.array([[3, 1, 6], [7, 2, 8]], np.int32),
+    ]
+    return TripleDataset(features=feats, triples=triples)
+
+
+def test_set_predicate_balance_weights_exact():
+    ds = _balance_ds()
+    assert ds.set_predicate_balance(0.0).triple_weights is None
+    ds.set_predicate_balance(1.0)
+    # Images 0-2: both triples share predicate 1 → uniform within image.
+    for i in range(3):
+        np.testing.assert_allclose(ds.triple_weights[i], [0.5, 0.5])
+    # Image 3: w ∝ (1/7, 1/1) → normalized (1/8, 7/8).
+    np.testing.assert_allclose(ds.triple_weights[3], [1 / 8, 7 / 8])
+
+
+def test_sample_batch_respects_predicate_balance():
+    ds = _balance_ds().set_predicate_balance(1.0)
+    rng = np.random.RandomState(0)
+    # Sample only from image 3: the rare predicate 2 must appear ~7/8.
+    idx = np.array([3])
+    n, hits = 4000, 0
+    for _ in range(4):
+        b = ds.sample_batch(rng, idx, 1000)
+        hits += int((b["triples"][:, 1] == 2).sum())
+    assert abs(hits / n - 7 / 8) < 0.03  # σ ≈ 0.005 → 6σ margin
+
+
+def test_device_iterator_predicate_balance_distribution():
+    ds = _balance_ds().set_predicate_balance(1.0)
+    it = make_device_train_iterator(ds, batch_size=64, n_critic=1, seed=0)
+    preds, img3 = [], 0
+    for _ in range(60):
+        b = next(it)
+        t = np.asarray(b["triples"]).reshape(-1, 3)
+        f = np.asarray(b["features"]).reshape(-1, 7, 8)
+        # Rows drawn from image 3 (identified by its features).
+        is3 = np.abs(f - ds.features[3]).max(axis=(1, 2)) < 1e-6
+        img3 += int(is3.sum())
+        preds.append(t[is3, 1])
+        # Every sampled triple must be one of its image's true triples.
+        for row, ok3 in zip(t, is3):
+            if ok3:
+                assert any((row == x).all() for x in ds.triples[3])
+    preds = np.concatenate(preds)
+    frac = (preds == 2).mean()
+    assert img3 > 1000  # enough draws for the statistic
+    assert abs(frac - 7 / 8) < 0.04
+
+
+def test_device_iterator_alpha_zero_bit_identical():
+    """alpha=0 keeps the original uniform sampling path byte-for-byte."""
+    d = synthetic_dataset(num_images=16, regions=7, feat_dim=8)
+    a = TripleDataset(features=d["features"], triples=d["triples"])
+    b = TripleDataset(
+        features=d["features"], triples=d["triples"]
+    ).set_predicate_balance(0.0)
+    ia = make_device_train_iterator(a, batch_size=8, n_critic=2, seed=3)
+    ib = make_device_train_iterator(b, batch_size=8, n_critic=2, seed=3)
+    for _ in range(3):
+        ba, bb = next(ia), next(ib)
+        np.testing.assert_array_equal(
+            np.asarray(ba["triples"]), np.asarray(bb["triples"])
+        )
+
+
+def test_rotating_iterator_predicate_balance():
+    ds = _balance_ds().set_predicate_balance(1.0)
+    from sgg.data.pipeline import make_rotating_device_iterator
+
+    # Force 2 subsets of 2 images each.
+    it = make_rotating_device_iterator(
+        ds, batch_size=64, n_critic=1, seed=0,
+        subset_bytes=2 * ds.features[0].nbytes, log=None,
+    )
+    preds = []
+    for _ in range(80):
+        b = next(it)
+        t = np.asarray(b["triples"]).reshape(-1, 3)
+        preds.append(t[:, 1])
+    preds = np.concatenate(preds)
+    # Whenever image 3's subset is resident, predicate 2 is drawn 7/8 of
+    # the time from it; overall it must show up far above its 1/8 corpus
+    # share and every draw stays a real triple.
+    assert (preds == 2).sum() > 0
+    assert set(np.unique(preds)) <= {1, 2}
