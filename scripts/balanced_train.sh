@@ -1,0 +1,48 @@
+#!/bin/bash
+# Predicate-balanced rerun of pipeline v3's train+eval stages (same seed-0
+# grounded shards, same 100k-step protocol) to measure what
+# data.predicate_balance buys on mR@k — the metric the uniform run is
+# weakest on (BASELINE.md pipeline-v3: tail predicates at recall@100 ≈ 0.02
+# vs head ≈ 0.39). Train-time resampling only; evaluation is unchanged.
+cd /root/repo || exit 1
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
+D=/root/data
+ALPHA=${ALPHA:-0.7}
+STEPS=${STEPS:-100000}
+WD="$D/run_v3_bal$ALPHA"
+log() { echo "[balanced $(date +%H:%M:%S)] $*"; }
+
+[ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
+
+log "train: alpha=$ALPHA, $STEPS steps (supervised relaunch loop)"
+while :; do
+  python -m sgg.cli.train --config vg1k --workdir "$WD" \
+    --platform axon \
+    --set data.source=shards --set "data.data_dir=$D/v3_shards" \
+    --set model.compute_dtype=bfloat16 \
+    --set train.batch_size=256 --set "train.total_steps=$STEPS" \
+    --set train.log_every=200 --set train.checkpoint_every=2000 \
+    --set data.rotation_min_steps=1000 \
+    --set train.ema_decay=0.999 \
+    --set "data.predicate_balance=$ALPHA" \
+    --set train.host_rss_exit_gb=95
+  rc=$?
+  # Relay client can SIGABRT in C++ teardown AFTER a completed run; judge
+  # success by the final checkpoint, not the exit code (pipeline_v3.sh).
+  [ -d "$WD/checkpoints/$STEPS" ] && { rc=0; break; }
+  [ "$rc" -eq 75 ] || break
+  log "RSS watchdog handover — relaunching trainer (auto-resume)"
+  sleep 60
+done
+[ "$rc" -eq 0 ] || { log "train failed rc=$rc"; exit 1; }
+sleep 90
+
+log "eval: raw + EMA, held-out, zero-shot + per-predicate"
+python -m sgg.cli.evaluate --workdir "$WD" --split test \
+  --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot \
+  --per-predicate --platform axon || exit 1
+sleep 90
+python -m sgg.cli.evaluate --workdir "$WD" --split test \
+  --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot \
+  --per-predicate --ema --platform axon || exit 1
+log "done"
