@@ -148,6 +148,18 @@ class TrainConfig:
     # Entropy bonus coefficient for estimator="reinforce" (0 = off): adds
     # −coef·E[H(πₜ)] to the surrogate to slow early policy collapse.
     rl_entropy: float = 0.0
+    # Critic-driven encoder fine-tuning for end-to-end (pixels-in) configs:
+    # the backbone's params are updated by the CRITIC loss inside each
+    # critic iteration — the encoder is the critic's feature trunk, as in
+    # projection-discriminator practice — while the generator conditions on
+    # stop-gradiented features (the game cannot push the encoder to hide
+    # information from itself; features that maximize real/fake separation
+    # are exactly the informative ones). Requires model.encoder !=
+    # "precomputed"; incompatible with pp_microbatches (the pipeline path
+    # bakes a stop_gradient). Keep enc_lr ≲ d_lr/10 so feature drift stays
+    # slower than the heads that read the features.
+    train_encoder: bool = False
+    enc_lr: float = 1e-5
     # Unroll factor for the critic-iteration scan inside the fused step
     # (clamped to n_critic). n_critic is tiny (typically 5), so full unroll
     # costs little compile time and measured +8.7% step throughput on v5e

@@ -26,13 +26,16 @@ class GANTrainState:
     g_opt_state: Any
     d_opt_state: Any
     rng: jax.Array  # base key; per-step keys are folded from this + step
-    # Frozen backbone weights for end-to-end (on-device features) configs;
-    # None when features are precomputed. Not touched by any optimizer.
+    # Backbone weights for end-to-end (on-device features) configs; None
+    # when features are precomputed. Frozen unless train.train_encoder.
     enc_params: Any = None
     # EMA of g_params (train.ema_decay > 0), used at inference via --ema.
     # None when EMA is off — an empty pytree node, so checkpoints written
     # before this field existed restore unchanged.
     g_ema: Any = None
+    # Adam state for enc_params (train.train_encoder only); same None-node
+    # back-compat contract as g_ema.
+    enc_opt_state: Any = None
 
 
 def make_models(cfg: Config):
@@ -81,6 +84,11 @@ def make_optimizers(cfg: Config) -> tuple[optax.GradientTransformation, optax.Gr
     return g_tx, d_tx
 
 
+def make_encoder_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    return optax.adam(t.enc_lr, b1=t.beta1, b2=t.beta2)
+
+
 def create_train_state(
     cfg: Config, rng: jax.Array, enc_params: Any = None
 ) -> GANTrainState:
@@ -125,6 +133,11 @@ def create_train_state(
         g_ema=(
             jax.tree.map(jnp.copy, g_params)
             if cfg.train.ema_decay > 0 else None
+        ),
+        enc_opt_state=(
+            make_encoder_optimizer(cfg).init(enc_params)
+            if cfg.train.train_encoder and enc_params is not None
+            else None
         ),
     )
 

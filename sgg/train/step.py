@@ -25,7 +25,12 @@ import optax
 
 from sgg.config import Config
 from sgg.train.losses import critic_loss, generator_loss, reinforce_generator_loss
-from sgg.train.state import GANTrainState, make_models, make_optimizers
+from sgg.train.state import (
+    GANTrainState,
+    make_encoder_optimizer,
+    make_models,
+    make_optimizers,
+)
 
 
 def tau_schedule(cfg: Config, step: jnp.ndarray) -> jnp.ndarray:
@@ -115,6 +120,20 @@ def make_step_fn(
         moe_experts=cfg.model.moe_experts, moe_top_k=cfg.model.moe_top_k,
         moe_ep_mesh=moe_ep_mesh,
     )
+    train_enc = bool(cfg.train.train_encoder)
+    if train_enc:
+        if encoder is None:
+            raise ValueError(
+                "train.train_encoder requires an end-to-end encoder config "
+                "(model.encoder != 'precomputed')"
+            )
+        if pp_on:
+            raise ValueError(
+                "train.train_encoder is incompatible with "
+                "model.pp_microbatches: the pipeline path bakes a "
+                "stop_gradient at the encoder stage boundary"
+            )
+        enc_tx = make_encoder_optimizer(cfg)
 
     def critic_apply(d_params, feats, triple):
         return critic.apply({"params": d_params}, feats, triple)
@@ -199,10 +218,14 @@ def make_step_fn(
         else:
             data = batch["images"]
 
-            def get_feats(images):
+            def enc_feats(enc_params, images):
                 x = normalize_for(cfg.model.encoder, images)
-                f = encoder.apply(state.enc_params, x)
-                return jax.lax.stop_gradient(f.astype(cfg.model.dtype))
+                return encoder.apply(enc_params, x).astype(cfg.model.dtype)
+
+            def get_feats(images):
+                return jax.lax.stop_gradient(
+                    enc_feats(state.enc_params, images)
+                )
 
         tau = tau_schedule(cfg, state.step)
         rng = jax.random.fold_in(state.rng, state.step)
@@ -249,6 +272,56 @@ def make_step_fn(
                 (data[:n_critic], batch["triples"][:n_critic], fakes, d_keys),
                 unroll=min(cfg.train.critic_unroll, n_critic),
             )
+        elif train_enc:
+            # Critic-driven encoder fine-tuning: the backbone is the
+            # critic's feature trunk, so each critic iteration differentiates
+            # the FULL critic loss (Wasserstein + GP) jointly w.r.t. critic
+            # AND encoder params. The fake sample conditions on
+            # stop-gradiented features — the generator path never moves the
+            # encoder (see TrainConfig.train_encoder).
+            def critic_iter(carry, inp):
+                with jax.named_scope("critic_update"):
+                    d_params, d_opt, enc_p, enc_opt = carry
+                    raw, real_ids, key = inp
+                    key_f, key_gp = jax.random.split(key)
+
+                    def joint_loss(dp, ep):
+                        with jax.named_scope("encoder"):
+                            feats = enc_feats(ep, raw)
+                        fake = jax.lax.stop_gradient(
+                            sample_fake(
+                                state.g_params,
+                                jax.lax.stop_gradient(feats), key_f, tau,
+                            )
+                        )
+                        return d_loss_fn(dp, feats, real_ids, fake, key_gp)
+
+                    (_, aux), (d_grads, enc_grads) = jax.value_and_grad(
+                        joint_loss, argnums=(0, 1), has_aux=True
+                    )(d_params, enc_p)
+                    d_grads = maybe_pmean(d_grads)
+                    enc_grads = maybe_pmean(enc_grads)
+                    aux["enc_gnorm"] = optax.global_norm(enc_grads)
+                    updates, d_opt = d_tx.update(d_grads, d_opt, d_params)
+                    d_params = optax.apply_updates(d_params, updates)
+                    enc_up, enc_opt = enc_tx.update(enc_grads, enc_opt, enc_p)
+                    enc_p = optax.apply_updates(enc_p, enc_up)
+                    return (d_params, d_opt, enc_p, enc_opt), aux
+
+            (d_params, d_opt_state, enc_params_out, enc_opt_out), d_aux = (
+                jax.lax.scan(
+                    critic_iter,
+                    (state.d_params, state.d_opt_state,
+                     state.enc_params, state.enc_opt_state),
+                    (data[:n_critic], batch["triples"][:n_critic], d_keys),
+                    unroll=min(cfg.train.critic_unroll, n_critic),
+                )
+            )
+
+            def get_feats(images):  # generator conditions on the UPDATED
+                return jax.lax.stop_gradient(  # encoder, gradient-free
+                    enc_feats(enc_params_out, images)
+                )
         else:
 
             def critic_iter(carry, inp):
@@ -275,6 +348,9 @@ def make_step_fn(
                 (data[:n_critic], batch["triples"][:n_critic], d_keys),
                 unroll=min(cfg.train.critic_unroll, n_critic),
             )
+        if not train_enc:
+            enc_params_out = state.enc_params
+            enc_opt_out = state.enc_opt_state
 
         # ---- one generator update on the final fresh sub-batch ----
         with jax.named_scope("generator_update"):
@@ -312,8 +388,9 @@ def make_step_fn(
             g_opt_state=g_opt_state,
             d_opt_state=d_opt_state,
             rng=state.rng,
-            enc_params=state.enc_params,
+            enc_params=enc_params_out,
             g_ema=g_ema,
+            enc_opt_state=enc_opt_out,
         )
         return new_state, metrics
 

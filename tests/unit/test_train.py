@@ -261,3 +261,62 @@ def test_unknown_estimator_raises(smoke_cfg):
             make_train_step(cfg, donate=False)
     finally:
         cfg.train.estimator = "gumbel"
+
+
+def _enc_cfg():
+    cfg = get_config("smoke")
+    cfg.model.encoder = "vgg19"
+    cfg.model.vocab_size = V
+    cfg.data.image_size = 32
+    cfg.data.regions, cfg.data.feat_dim = 4, 512  # vgg19 @ 32px → [4, 512]
+    cfg.train.batch_size = 2
+    cfg.train.n_critic = 2
+    return cfg
+
+
+def _img_batch(rng, n_sub, b):
+    r = np.random.RandomState(rng)
+    return {
+        "images": jnp.asarray(r.randint(0, 256, (n_sub, b, 32, 32, 3)), jnp.uint8),
+        "triples": jnp.asarray(r.randint(2, V, (n_sub, b, 3)), jnp.int32),
+    }
+
+
+def test_train_encoder_updates_backbone():
+    """train.train_encoder: the critic loss moves enc_params every critic
+    iteration; with it off the same step leaves them bit-identical."""
+    cfg = _enc_cfg()
+    cfg.train.train_encoder = True
+    state = create_train_state(cfg, jax.random.key(0))
+    assert state.enc_opt_state is not None
+    step = make_train_step(cfg, donate=False)
+    batch = _img_batch(0, cfg.train.n_critic + 1, cfg.train.batch_size)
+    s1, m = step(state, batch)
+    assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    assert float(m["enc_gnorm"]) > 0
+    moved = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree.leaves(state.enc_params),
+                        jax.tree.leaves(s1.enc_params))
+    )
+    assert moved > 0
+
+    frozen_cfg = _enc_cfg()  # train_encoder left False
+    fstate = create_train_state(frozen_cfg, jax.random.key(0))
+    assert fstate.enc_opt_state is None
+    fstep = make_train_step(frozen_cfg, donate=False)
+    f1, fm = fstep(fstate, batch)
+    assert "enc_gnorm" not in fm
+    for a, b in zip(jax.tree.leaves(fstate.enc_params),
+                    jax.tree.leaves(f1.enc_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_encoder_requires_pixel_config(smoke_cfg):
+    cfg = smoke_cfg
+    cfg.train.train_encoder = True
+    try:
+        with pytest.raises(ValueError, match="train_encoder"):
+            make_train_step(cfg, donate=False)
+    finally:
+        cfg.train.train_encoder = False
