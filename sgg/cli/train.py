@@ -41,6 +41,12 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     add_config_args(p)
     p.add_argument("--steps", type=int, default=None, help="override total_steps")
+    p.add_argument("--encoder-ckpt", default=None,
+                   help="initialize the backbone from a sgg.cli.pretrain "
+                        "output (dir with encoder_params.npz, or the .npz "
+                        "itself) instead of random init — end-to-end encoder "
+                        "configs only; pairs with train.train_encoder for "
+                        "GAN fine-tuning from pixels")
     p.add_argument("--profile", action="store_true",
                    help="capture an XProf trace of steps 10..15 into workdir/profile")
     p.add_argument("--debug-nans", action="store_true",
@@ -80,7 +86,26 @@ def main(argv=None) -> int:
     )
     ckpt.save_vocab(vocab)
 
-    state = create_train_state(cfg, jax.random.key(cfg.train.seed))
+    enc_params = None
+    if args.encoder_ckpt:
+        import os
+
+        if cfg.model.encoder == "precomputed":
+            print("[sgg.train] --encoder-ckpt requires an end-to-end "
+                  "encoder config (model.encoder != 'precomputed')",
+                  file=sys.stderr)
+            return 1
+        from sgg.train.pretrain import load_params_npz
+
+        path = args.encoder_ckpt
+        if os.path.isdir(path):
+            path = os.path.join(path, "encoder_params.npz")
+        enc_params = {"params": load_params_npz(path)}
+        print(f"[sgg.train] encoder weights ← {path}", flush=True)
+
+    state = create_train_state(
+        cfg, jax.random.key(cfg.train.seed), enc_params=enc_params
+    )
     restored = ckpt.restore(state)
     if restored is not None:
         state = restored

@@ -171,3 +171,62 @@ def test_train_ema_and_evaluate_zero_shot(tmp_path, capsys):
          "--num-samples", "4", "--num-images", "4", "--ema"]
     )
     assert rc == 1
+
+
+def test_train_encoder_ckpt_and_finetune(tmp_path):
+    """--encoder-ckpt initializes the backbone from pretrain-format npz and
+    train.train_encoder fine-tunes it: the checkpointed enc_params must
+    differ from the loaded init after 2 steps (and the loader must reject
+    precomputed configs)."""
+    import jax
+    import numpy as np
+
+    from sgg.models.encoders import make_encoder
+    from sgg.train.pretrain import load_params_npz, save_params_npz
+
+    enc = make_encoder("vgg19", dtype=np.float32, image_size=16)
+    enc_params = enc.init(jax.random.key(11), np.zeros((1, 16, 16, 3), np.float32))
+    npz = tmp_path / "encoder_params.npz"
+    save_params_npz(str(npz), enc_params["params"])
+
+    wd = str(tmp_path / "ft_run")
+    args = [
+        "--config", "smoke", "--workdir", wd,
+        "--set", "model.encoder=vgg19",
+        "--set", "data.image_size=16",
+        "--set", "data.regions=1",
+        "--set", "data.feat_dim=512",
+        "--set", "data.num_synthetic_images=16",
+        "--set", "train.batch_size=2",
+        "--set", "train.n_critic=1",
+        "--set", "train.train_encoder=True",
+        "--set", "train.checkpoint_every=2",
+        "--set", "mesh.data=1", "--set", "mesh.model=1",
+        "--encoder-ckpt", str(npz),
+        "--steps", "2",
+    ]
+    assert cli_train.main(args) == 0
+
+    from sgg.train.checkpoint import CheckpointManager, load_workdir
+    from sgg.train.state import create_train_state
+
+    cfg, _ = load_workdir(wd)
+    restored = CheckpointManager(wd, cfg).restore(
+        create_train_state(cfg, jax.random.key(0))
+    )
+    init = load_params_npz(str(npz))
+    moved = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+        for a, b in zip(
+            jax.tree.leaves(restored.enc_params["params"]),
+            jax.tree.leaves(init),
+        )
+    )
+    assert moved > 0  # fine-tuning actually moved the backbone
+
+    # precomputed config → clean failure
+    rc = cli_train.main([
+        "--config", "smoke", "--workdir", str(tmp_path / "bad"),
+        "--encoder-ckpt", str(npz), "--steps", "1",
+    ])
+    assert rc == 1
