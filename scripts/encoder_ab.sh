@@ -1,0 +1,60 @@
+#!/bin/bash
+# Trainable-encoder A/B (VERDICT r2 item 8 follow-through): does critic-driven
+# backbone fine-tuning (train.train_encoder) improve held-out pixels->graphs
+# recall over the same backbone FROZEN at its spatial-pretrain init?
+#
+# Both arms: vg_full config (vgg19 end-to-end), grounded corpus images,
+# device-resident uint8 store (data.max_images caps the train split so the
+# decoded corpus fits the HBM budget), identical seeds/protocol; the only
+# variable is train.train_encoder. Evaluation is sgg.cli.generate
+# --recall-k on the held-out split (the split now matches preprocess's, see
+# DataConfig.split_seed) with EMA weights.
+cd /root/repo || exit 1
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
+D=/root/data
+STEPS=${STEPS:-10000}
+MAXIMG=${MAXIMG:-20000}
+log() { echo "[encoder-ab $(date +%H:%M:%S)] $*"; }
+
+[ -f "$D/enc_pretrain_v3/encoder_params.npz" ] || {
+  log "missing spatial-pretrain checkpoint (run pipeline_v3 stages 0-1)"; exit 1; }
+
+run_arm() { # $1=workdir  $2=train_encoder
+  local WD="$1" TE="$2"
+  if [ -d "$WD/checkpoints/$STEPS" ]; then
+    log "arm $WD: train already complete"; return 0
+  fi
+  while :; do
+    python -m sgg.cli.train --config vg_full --workdir "$WD" \
+      --platform axon \
+      --encoder-ckpt "$D/enc_pretrain_v3" \
+      --set "data.data_dir=$D/synthvg_grounded" \
+      --set "data.max_images=$MAXIMG" \
+      --set model.compute_dtype=bfloat16 \
+      --set train.batch_size=64 --set "train.total_steps=$STEPS" \
+      --set train.log_every=200 --set train.checkpoint_every=1000 \
+      --set train.ema_decay=0.999 \
+      --set "train.train_encoder=$TE" \
+      --set train.host_rss_exit_gb=95
+    rc=$?
+    [ -d "$WD/checkpoints/$STEPS" ] && return 0
+    [ "$rc" -eq 75 ] || return "$rc"
+    log "RSS watchdog handover — relaunching (auto-resume)"
+    sleep 60
+  done
+}
+
+for arm in frozen:false trainable:true; do
+  name="${arm%%:*}"; te="${arm##*:}"
+  WD="$D/ab_enc_$name"
+  log "=== arm: $name (train_encoder=$te) ==="
+  run_arm "$WD" "$te" || { log "arm $name train failed"; exit 1; }
+  sleep 90
+  log "eval arm $name (EMA, held-out split)"
+  python -m sgg.cli.generate --workdir "$WD" --split test \
+    --recall-k 50 --num-samples 100 --batch-size 64 --num-images 2048 \
+    --ema --out "$WD/scene_graphs_test.json" --platform axon \
+    || { log "arm $name eval failed"; exit 1; }
+  sleep 90
+done
+log "done — compare the two [sgg.generate] recall@50 lines above"

@@ -55,6 +55,13 @@ log "stage 3: global-frequency recall baseline (the bar)"
 python benchmarks/freq_baseline.py --data-dir "$D/v3_shards" --k 50 \
   | tee "$D/v3_freq_baseline.txt" || exit 1
 
+# Shared-input mode: stages 0-3 rebuild the corpus/pretrain/shards other
+# scripts depend on; the 100k train is skipped (session10.sh drives it).
+if [ -n "$STOP_AFTER_BASELINE" ]; then
+  log "STOP_AFTER_BASELINE set — skipping stages 4-5"
+  exit 0
+fi
+
 log "stage 4: WGAN-GP train ($STEPS steps, rotating device-resident subsets)"
 # Supervised relaunch loop: the relay PJRT client leaks every host->device
 # transfer in host RSS; the trainer checkpoints and exits 75 before the OOM

@@ -117,7 +117,7 @@ def load_dataset(cfg: Config, split: str = "train"):
     """
     d = cfg.data
     if cfg.model.encoder != "precomputed":
-        return _load_image_dataset(cfg)
+        return _load_image_dataset(cfg, split=split)
     if d.source == "shards" and split == "test":
         test_dir = os.path.join(d.data_dir, "test")
         if list_shards(test_dir):
@@ -150,8 +150,16 @@ def load_dataset(cfg: Config, split: str = "train"):
     )
 
 
-def _load_image_dataset(cfg: Config):
-    """Datasets for end-to-end (on-device feature) training [B:8]."""
+def _load_image_dataset(cfg: Config, split: str = "train"):
+    """Datasets for end-to-end (on-device feature) training [B:8].
+
+    The ``vg`` source applies the SAME deterministic image-id split as
+    sgg.cli.preprocess (``train_test_split`` seeded by data.split_seed, which
+    must equal preprocess's --seed) so end-to-end runs hold out the same
+    images as precomputed-shards runs — ``--split test`` on an end-to-end
+    config evaluates genuinely unseen images, not training data. The
+    synthetic source has no materialized split and returns the full set.
+    """
     import numpy as np
 
     from sgg.data.images import ArrayImageTripleDataset, ImageTripleDataset
@@ -190,6 +198,21 @@ def _load_image_dataset(cfg: Config):
         ids, enc = filter_and_encode(
             images, vocab, max_triples_per_image=d.max_triples_per_image
         )
+        from sgg.data.vg import train_test_split
+
+        train_ids, test_ids = train_test_split(
+            ids, d.test_fraction, seed=d.split_seed
+        )
+        keep = set(test_ids if split == "test" else train_ids)
+        sel = [j for j, i in enumerate(ids) if i in keep]
+        if d.max_images and len(sel) > d.max_images:
+            # Deterministic subsample, shuffled by split_seed so the cap
+            # doesn't bias toward the corpus's file order.
+            rng = np.random.RandomState(d.split_seed)
+            pick = rng.permutation(len(sel))[: d.max_images]
+            sel = [sel[j] for j in sorted(pick)]
+        ids = [ids[j] for j in sel]
+        enc = [enc[j] for j in sel]
         paths = resolve_image_paths(ids, os.path.join(d.data_dir, "images"))
         return (
             ImageTripleDataset(paths=paths, triples=enc, image_size=d.image_size),

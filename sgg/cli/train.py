@@ -144,8 +144,9 @@ def main(argv=None) -> int:
     # Data: device-resident gather pipeline when the features fit HBM
     # (zero per-step host traffic); host prefetch iterator otherwise.
     from sgg.data import TripleDataset, make_device_train_iterator
+    from sgg.data.images import ArrayImageTripleDataset, ImageTripleDataset
 
-    if cfg.data.predicate_balance > 0 and isinstance(ds, TripleDataset):
+    if cfg.data.predicate_balance > 0 and hasattr(ds, "set_predicate_balance"):
         # Long-tail resampling: every loader below reads the weights off the
         # dataset (host/grain via sample_batch, device iterators via the
         # in-jit inverse-CDF path).
@@ -156,16 +157,39 @@ def main(argv=None) -> int:
             flush=True,
         )
 
+    # Path-backed image datasets: decode ONCE into an in-memory uint8 array
+    # when the corpus fits the HBM budget — turns end-to-end encoder
+    # training (incl. train.train_encoder fine-tuning) from per-step image
+    # uploads (~1.4 s/step through this relay at batch 64) into the same
+    # zero-host-traffic device-resident gather the precomputed tiers use.
+    if (
+        cfg.data.device_resident
+        and cfg.data.loader != "grain"
+        and jax.process_count() == 1
+        and isinstance(ds, ImageTripleDataset)
+        and ds.est_bytes <= cfg.data.device_resident_max_bytes
+    ):
+        print(
+            f"[sgg.train] materializing {len(ds)} images "
+            f"({ds.est_bytes / 1e9:.1f} GB uint8) for device residency",
+            flush=True,
+        )
+        ds = ds.materialize(log=lambda m: print(m, flush=True))
+
     # Device-resident data commits process-local arrays, which cannot satisfy
     # a non-addressable global sharding — multi-host runs must take the
     # host-prefetch path (it builds global arrays via
     # make_array_from_process_local_data).
+    _store = getattr(ds, "features", None)
+    if _store is None:
+        _store = getattr(ds, "images", None) if isinstance(
+            ds, ArrayImageTripleDataset) else None
     use_device_data = (
         cfg.data.loader != "grain"
         and cfg.data.device_resident
         and jax.process_count() == 1
-        and isinstance(ds, TripleDataset)
-        and ds.features.nbytes <= cfg.data.device_resident_max_bytes
+        and _store is not None
+        and _store.nbytes <= cfg.data.device_resident_max_bytes
     )
     grain_it = None
     if cfg.data.loader == "grain":
@@ -193,12 +217,12 @@ def main(argv=None) -> int:
             seed=cfg.train.seed, sharding=sharding,
         )
         print("[sgg.train] device-resident dataset "
-              f"({ds.features.nbytes / 1e6:.0f} MB in HBM)", flush=True)
+              f"({_store.nbytes / 1e6:.0f} MB in HBM)", flush=True)
     elif (
         cfg.data.device_resident
         and cfg.data.rotate_subsets
         and jax.process_count() == 1
-        and isinstance(ds, TripleDataset)
+        and isinstance(ds, (TripleDataset, ArrayImageTripleDataset))
     ):
         # Bigger than the HBM budget: rotate device-resident subsets —
         # train on one while the next uploads in the background.
@@ -212,10 +236,13 @@ def main(argv=None) -> int:
             sharding=sharding,
             log=lambda m: print(m, flush=True),
         )
-        n_subsets = -(-ds.features.nbytes // subset_bytes)
+        _rot_store = getattr(ds, "features", None)
+        if _rot_store is None:
+            _rot_store = ds.images
+        n_subsets = -(-_rot_store.nbytes // subset_bytes)
         print(
             f"[sgg.train] rotating device-resident subsets "
-            f"({ds.features.nbytes / 1e9:.1f} GB over {n_subsets} subsets "
+            f"({_rot_store.nbytes / 1e9:.1f} GB over {n_subsets} subsets "
             f"of ≤{subset_bytes / 1e9:.1f} GB)",
             flush=True,
         )

@@ -102,6 +102,15 @@ class DataConfig:
     # scores the full ground truth. Targets mR@k (BASELINE.md pipeline-v3:
     # tail predicates at recall@100 ≈ 0.02 vs head ≈ 0.39 under uniform).
     predicate_balance: float = 0.0
+    # Image-backed (end-to-end encoder) sources only: cap the per-split
+    # image count AFTER the train/test split (0 = no cap). Bounds the
+    # decoded-corpus size so it fits the device-resident HBM budget.
+    max_images: int = 0
+    # Seed for the deterministic image-id train/test split. Must match the
+    # --seed that sgg.cli.preprocess was run with (default 0) so an
+    # end-to-end run holds out the SAME images as a precomputed-shards run
+    # over the same corpus — keeps recall numbers comparable across tiers.
+    split_seed: int = 0
 
 
 @dataclass

@@ -55,22 +55,9 @@ class TripleDataset:
         head-predicate recall for tail mR@k. Affects training sampling only —
         evaluation always scores the full ground truth.
         """
-        if alpha <= 0:
-            self.triple_weights = None
-            return self
-        freq = np.zeros(0, np.int64)
-        for t in self.triples:
-            p = np.asarray(t)[:, 1]
-            if p.size and p.max() >= freq.size:
-                freq = np.concatenate(
-                    [freq, np.zeros(int(p.max()) + 1 - freq.size, np.int64)]
-                )
-            np.add.at(freq, p, 1)
-        w_pred = np.where(freq > 0, freq.astype(np.float64), 1.0) ** -alpha
-        self.triple_weights = [
-            (lambda w: w / w.sum())(w_pred[np.asarray(t)[:, 1]])
-            for t in self.triples
-        ]
+        from sgg.data.images import compute_triple_weights
+
+        self.triple_weights = compute_triple_weights(self.triples, alpha)
         return self
 
     def __len__(self) -> int:
@@ -137,8 +124,20 @@ def _dense_cum_weights(tri_list, weights_list, T: int) -> np.ndarray:
     return cumw
 
 
+def _data_store(dataset) -> tuple[np.ndarray, str]:
+    """(host array, batch key) for whatever the dataset holds.
+
+    Feature-backed datasets yield ('features', f32[N,R,F]); image-backed
+    ones ('images', u8[N,H,W,3]) — the fused step normalizes + encodes on
+    device, so the uint8 store is 4× smaller in HBM than f32 features.
+    """
+    if hasattr(dataset, "features"):
+        return dataset.features, "features"
+    return dataset.images, "images"
+
+
 def make_device_train_iterator(
-    dataset: TripleDataset,
+    dataset,
     batch_size: int,
     n_critic: int,
     seed: int = 0,
@@ -148,9 +147,13 @@ def make_device_train_iterator(
 ):
     """Device-resident pipeline: the whole (local) dataset lives in HBM and
     every super-batch is assembled by ONE jitted gather — zero per-step
-    host↔device traffic. The TPU-native choice whenever the feature set fits
-    device memory (vg1k: 1k × 196×512 f32 ≈ 0.4 GB ≪ 16 GB HBM); the
-    host-prefetch iterator remains for bigger-than-HBM data.
+    host↔device traffic. The TPU-native choice whenever the data fits device
+    memory (vg1k: 1k × 196×512 f32 ≈ 0.4 GB ≪ 16 GB HBM); the host-prefetch
+    iterator remains for bigger-than-HBM data. Accepts feature-backed
+    (TripleDataset) and image-backed (ArrayImageTripleDataset) datasets —
+    the latter keeps raw uint8 pixels resident and lets the end-to-end
+    encoder configs (incl. train.train_encoder) run without per-step image
+    uploads.
     """
     import jax.numpy as jnp
 
@@ -164,13 +167,14 @@ def make_device_train_iterator(
 
     from sgg.eval.sampler import device_put_features
 
-    # [N, R, F] → HBM once. Chunked: a single multi-GB put collapses to
+    store_host, key_name = _data_store(dataset)
+    # [N, ...] → HBM once. Chunked: a single multi-GB put collapses to
     # ~4 MB/s through the relay (measured; 64 MB chunks sustain ~42 MB/s).
     # Skip the host-side fancy-index copy when this process owns everything.
     host_feats = (
-        dataset.features
+        store_host
         if len(local) == len(dataset) and process_count == 1
-        else dataset.features[local]
+        else store_host[local]
     )
     feats = device_put_features(host_feats)
     tri_list = [dataset.triples[i] for i in local]
@@ -210,7 +214,7 @@ def make_device_train_iterator(
             # uniform triple choice within each image's true triple count
             tsel = (u * counts[img]).astype(jnp.int32)
         batch = {
-            "features": feats[img],  # [n_sub, B, R, F]
+            key_name: feats[img],  # [n_sub, B, R, F] / [n_sub, B, H, W, 3]
             "triples": dense[img, tsel],  # [n_sub, B, 3]
         }
         if sharding is not None:
@@ -229,7 +233,7 @@ def make_device_train_iterator(
 
 
 def make_rotating_device_iterator(
-    dataset: TripleDataset,
+    dataset,
     batch_size: int,
     n_critic: int,
     seed: int = 0,
@@ -265,8 +269,9 @@ def make_rotating_device_iterator(
 
     from sgg.eval.sampler import device_put_features
 
+    store_host, key_name = _data_store(dataset)
     n = len(dataset)
-    per_img = dataset.features[0].nbytes
+    per_img = store_host[0].nbytes
     S = max(1, min(n, subset_bytes // max(per_img, 1)))
     n_subsets = max(1, -(-n // S))
     rng = np.random.RandomState(seed)
@@ -283,7 +288,7 @@ def make_rotating_device_iterator(
 
     def host_subset(j):
         idx = subsets[j]
-        feats = dataset.features[idx]
+        feats = store_host[idx]
         dense = np.zeros((S, T, 3), np.int32)
         counts = np.zeros((S,), np.int32)
         for row, i in enumerate(idx):
@@ -322,7 +327,7 @@ def make_rotating_device_iterator(
             tsel = (u[..., None] > cumw[img]).sum(-1).astype(jnp.int32)
         else:
             tsel = (u * counts[img]).astype(jnp.int32)
-        batch = {"features": feats[img], "triples": dense[img, tsel]}
+        batch = {key_name: feats[img], "triples": dense[img, tsel]}
         if sharding is not None:
             batch = jax.lax.with_sharding_constraint(
                 batch, jax.tree.map(lambda _: sharding, batch)

@@ -240,3 +240,68 @@ def test_grounded_corpus(tmp_path):
     vocab = build_vocab_from_relationships(images, min_count=1)
     ids, enc = filter_and_encode(images, vocab)
     assert len(ids) == 6
+
+
+def test_image_dataset_split_matches_preprocess(tmp_path):
+    """End-to-end (image-backed) configs hold out the SAME images as
+    sgg.cli.preprocess's shard split: load_dataset(split='test') on a vg
+    image source must select exactly train_test_split's test ids, and the
+    two splits must be disjoint (no eval leak)."""
+    import json
+
+    from PIL import Image
+
+    from sgg.cli.common import load_dataset
+    from sgg.config import get_config
+    from sgg.data.synthetic import synthetic_vg_json
+    from sgg.data.vg import (
+        build_vocab_from_relationships,
+        filter_and_encode,
+        parse_relationships,
+        train_test_split,
+    )
+
+    entries = synthetic_vg_json(20, seed=1)
+    (tmp_path / "relationships.json").write_text(json.dumps(entries))
+    (tmp_path / "images").mkdir()
+    rng = np.random.RandomState(0)
+    for e in entries:
+        Image.fromarray(
+            rng.randint(0, 256, (8, 8, 3), np.uint8)
+        ).save(tmp_path / "images" / f"{e['image_id']}.jpg")
+
+    cfg = get_config("smoke")
+    cfg.model.encoder = "vgg19"
+    cfg.data.source = "vg"
+    cfg.data.data_dir = str(tmp_path)
+    cfg.data.image_size = 8
+    cfg.data.test_fraction = 0.25
+    cfg.data.split_seed = 0
+
+    tr_ds, vocab = load_dataset(cfg, split="train")
+    te_ds, _ = load_dataset(cfg, split="test")
+
+    # reproduce the expected split from the same inputs
+    images = parse_relationships(str(tmp_path / "relationships.json"))
+    v2 = build_vocab_from_relationships(images, min_count=2)
+    ids, _ = filter_and_encode(
+        images, v2, max_triples_per_image=cfg.data.max_triples_per_image
+    )
+    exp_train, exp_test = train_test_split(ids, 0.25, seed=0)
+
+    def ids_of(ds):
+        import os
+
+        return [int(os.path.splitext(os.path.basename(p))[0]) for p in ds.paths]
+
+    assert ids_of(tr_ds) == exp_train
+    assert ids_of(te_ds) == exp_test
+    assert not set(ids_of(tr_ds)) & set(ids_of(te_ds))
+
+    # max_images caps deterministically after the split
+    cfg.data.max_images = 3
+    tr_cap, _ = load_dataset(cfg, split="train")
+    assert len(tr_cap) == 3
+    assert set(ids_of(tr_cap)) <= set(exp_train)
+    tr_cap2, _ = load_dataset(cfg, split="train")
+    assert ids_of(tr_cap2) == ids_of(tr_cap)

@@ -209,3 +209,101 @@ def test_rotating_iterator_predicate_balance():
     # share and every draw stays a real triple.
     assert (preds == 2).sum() > 0
     assert set(np.unique(preds)) <= {1, 2}
+
+
+# ---- device-resident uint8 image store (end-to-end encoder configs) ----
+
+
+def _image_ds(n=24, hw=6):
+    """Images whose every pixel encodes the image index; triples [i, i+1, i+2]
+    so batch rows can be matched back to their source image exactly."""
+    imgs = np.zeros((n, hw, hw, 3), np.uint8)
+    for i in range(n):
+        imgs[i] = i
+    trips = [np.array([[i, i + 1, i + 2]], np.int32) for i in range(n)]
+    from sgg.data.images import ArrayImageTripleDataset
+
+    return ArrayImageTripleDataset(images=imgs, triples=trips)
+
+
+def test_device_iterator_image_store():
+    ds = _image_ds()
+    it = make_device_train_iterator(
+        ds, batch_size=4, n_critic=2, seed=0, process_index=0, process_count=1
+    )
+    b = next(it)
+    assert sorted(b) == ["images", "triples"]
+    assert b["images"].shape == (3, 4, 6, 6, 3)
+    assert b["images"].dtype == np.uint8
+    imgs = np.asarray(b["images"])
+    trips = np.asarray(b["triples"])
+    # each row's triple must be the one belonging to its gathered image
+    for s in range(3):
+        for j in range(4):
+            i = int(imgs[s, j, 0, 0, 0])
+            np.testing.assert_array_equal(trips[s, j], [i, i + 1, i + 2])
+
+
+def test_rotating_iterator_image_store():
+    ds = _image_ds(n=24)
+    per_img = ds.images[0].nbytes
+    from sgg.data.pipeline import make_rotating_device_iterator
+
+    it = make_rotating_device_iterator(
+        ds, batch_size=4, n_critic=1, seed=0, subset_bytes=8 * per_img,
+        min_steps_per_subset=0, log=None,
+    )
+    seen = set()
+    for _ in range(40):
+        b = next(it)
+        imgs = np.asarray(b["images"])
+        trips = np.asarray(b["triples"])
+        for s in range(2):
+            for j in range(4):
+                i = int(imgs[s, j, 0, 0, 0])
+                np.testing.assert_array_equal(trips[s, j], [i, i + 1, i + 2])
+                seen.add(i)
+    assert len(seen) > 8  # rotation visited beyond one subset
+
+
+def test_materialize_matches_lazy_decode(tmp_path):
+    """Path-backed → in-memory store: decoded pixels identical to the lazy
+    per-batch loader the host-prefetch path uses."""
+    from PIL import Image
+
+    from sgg.data.extract import load_and_resize
+    from sgg.data.images import ImageTripleDataset
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"{i}.png"  # png: lossless, exact comparison
+        Image.fromarray(
+            rng.randint(0, 256, (9, 7, 3), np.uint8)
+        ).save(p)
+        paths.append(str(p))
+    trips = [np.array([[i, 0, i]], np.int32) for i in range(5)]
+    ds = ImageTripleDataset(paths=paths, triples=trips, image_size=8)
+    assert ds.est_bytes == 5 * 8 * 8 * 3
+    arr = ds.materialize()
+    assert arr.images.shape == (5, 8, 8, 3) and arr.images.dtype == np.uint8
+    for i in range(5):
+        np.testing.assert_array_equal(arr.images[i], load_and_resize(paths[i], 8))
+    assert arr.triples[2][0].tolist() == [2, 0, 2]
+
+
+def test_image_dataset_predicate_balance_carries_through_materialize(tmp_path):
+    from PIL import Image
+
+    from sgg.data.images import ImageTripleDataset
+
+    p = tmp_path / "0.png"
+    Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(p)
+    trips = [np.array([[0, 1, 0], [0, 1, 0], [0, 2, 0]], np.int32)]
+    ds = ImageTripleDataset(paths=[str(p)], triples=trips, image_size=4)
+    ds.set_predicate_balance(1.0)
+    w = ds.triple_weights[0]
+    # alpha=1: predicate 1 (freq 2) gets 1/2 weight of predicate 2 (freq 1)
+    np.testing.assert_allclose(w, [0.25, 0.25, 0.5])
+    arr = ds.materialize()
+    np.testing.assert_allclose(arr.triple_weights[0], [0.25, 0.25, 0.5])
