@@ -50,10 +50,10 @@ for arm in frozen:false trainable:true; do
   log "=== arm: $name (train_encoder=$te) ==="
   run_arm "$WD" "$te" || { log "arm $name train failed"; exit 1; }
   sleep 90
-  log "eval arm $name (EMA, held-out split)"
-  python -m sgg.cli.generate --workdir "$WD" --split test \
-    --recall-k 50 --num-samples 100 --batch-size 64 --num-images 2048 \
-    --ema --out "$WD/scene_graphs_test.json" --platform axon \
+  log "eval arm $name (EMA weights, held-out split, multi-k + zero-shot)"
+  python -m sgg.cli.evaluate --workdir "$WD" --split test \
+    --k 20,50,100 --num-samples 100 --batch-size 64 --num-images 2048 \
+    --zero-shot --ema --platform axon \
     || { log "arm $name eval failed"; exit 1; }
   sleep 90
 done

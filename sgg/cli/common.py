@@ -219,3 +219,43 @@ def _load_image_dataset(cfg: Config, split: str = "train"):
             vocab,
         )
     raise ValueError(f"unsupported data.source {d.source!r} for encoder configs")
+
+
+def make_batch_features(cfg: Config, ds, enc_params, quant: str | None = None):
+    """features-for-indices fn shared by generate/evaluate.
+
+    Precomputed configs index the dataset's feature array directly;
+    end-to-end configs run the checkpoint's backbone on device per batch
+    (in-memory uint8 images or lazily decoded paths). ``quant`` overrides
+    cfg.model.quant ('' disables, 'int8' forces PTQ).
+    """
+    if cfg.model.encoder == "precomputed":
+        return lambda idx: ds.features[idx]
+
+    import jax
+
+    from sgg.models.encoders import make_encoder, normalize_for
+
+    enc = make_encoder(
+        cfg.model.encoder, dtype=cfg.model.dtype,
+        image_size=cfg.data.image_size,
+        moe_experts=cfg.model.moe_experts,
+        moe_top_k=cfg.model.moe_top_k,
+        quant=cfg.model.quant if quant is None else quant,
+    )
+
+    @jax.jit
+    def encode(p, images_u8):
+        x = normalize_for(cfg.model.encoder, images_u8)
+        return enc.apply(p, x)
+
+    def batch_features(idx):
+        if hasattr(ds, "images"):  # in-memory uint8 images
+            imgs = ds.images[idx]
+        else:  # path-backed dataset
+            from sgg.data.extract import load_batch
+
+            imgs = load_batch([ds.paths[int(i)] for i in idx], ds.image_size)
+        return np.asarray(encode(enc_params, imgs), np.float32)
+
+    return batch_features

@@ -3,6 +3,8 @@
 Reference component #9 (SURVEY.md §2.1) as its own script: sample scene
 graphs for the held-out split and report recall@k against ground truth.
 A thin wrapper over the generation machinery with evaluation defaults.
+Works for precomputed-feature AND end-to-end encoder configs — the latter
+encode held-out images through the checkpoint's backbone per batch.
 
   python -m sgg.cli.evaluate --workdir /runs/vg1k --k 50 --num-samples 100
   python -m sgg.cli.evaluate --workdir /runs/vg1k --k 20,50,100 --per-predicate
@@ -57,15 +59,6 @@ def main(argv=None) -> int:
 
     cfg, vocab = load_workdir(args.workdir)
     cfg.model.vocab_size = len(vocab)
-    if cfg.model.encoder != "precomputed":
-        # Image-backed datasets have no .features to sample from — bail out
-        # cleanly instead of crashing on the attribute below.
-        print(
-            "[sgg.evaluate] end-to-end configs: use sgg.cli.generate "
-            "--recall-k (features must be encoded per image)",
-            file=sys.stderr,
-        )
-        return 1
     ds, _ = load_dataset(cfg, split=args.split)
     n_images = min(args.num_images or len(ds), len(ds))
 
@@ -98,6 +91,12 @@ def main(argv=None) -> int:
             cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
             tau=args.temperature,
         )
+    # End-to-end configs: encode features per batch through the
+    # checkpoint's backbone (shared path with sgg.cli.generate).
+    from sgg.cli.common import make_batch_features
+
+    batch_features = make_batch_features(cfg, ds, state.enc_params)
+
     rng = jax.random.key(args.seed)
     from collections import Counter
 
@@ -105,7 +104,7 @@ def main(argv=None) -> int:
     B = args.batch_size
     for lo in range(0, n_images, B):
         idx = np.arange(lo, min(lo + B, n_images))
-        feats = ds.features[idx]
+        feats = batch_features(idx)
         if feats.shape[0] < B:
             feats = np.concatenate(
                 [feats, np.repeat(feats[-1:], B - feats.shape[0], axis=0)]

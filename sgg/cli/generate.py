@@ -83,37 +83,14 @@ def main(argv=None) -> int:
 
     rng = jax.random.key(args.seed)
 
-    # End-to-end configs: run the frozen backbone (from the checkpoint's
+    # End-to-end configs: run the backbone (from the checkpoint's
     # enc_params) on images to produce the features the decoder attends over.
-    encode = None
-    if cfg.model.encoder != "precomputed":
-        from sgg.models.encoders import make_encoder, normalize_for
+    end_to_end = cfg.model.encoder != "precomputed"
+    quant = None if args.quant is None else (
+        "" if args.quant == "none" else args.quant)
+    from sgg.cli.common import make_batch_features
 
-        quant = cfg.model.quant if args.quant is None else (
-            "" if args.quant == "none" else args.quant)
-        enc = make_encoder(
-            cfg.model.encoder, dtype=cfg.model.dtype,
-            image_size=cfg.data.image_size,
-            moe_experts=cfg.model.moe_experts,
-            moe_top_k=cfg.model.moe_top_k,
-            quant=quant,
-        )
-
-        @jax.jit
-        def encode(enc_params, images_u8):
-            x = normalize_for(cfg.model.encoder, images_u8)
-            return enc.apply(enc_params, x)
-
-    def batch_features(idx):
-        if encode is None:
-            return ds.features[idx]
-        if hasattr(ds, "images"):  # in-memory uint8 images
-            imgs = ds.images[idx]
-        else:  # path-backed dataset
-            from sgg.data.extract import load_batch
-
-            imgs = load_batch([ds.paths[int(i)] for i in idx], ds.image_size)
-        return np.asarray(encode(state.enc_params, imgs), np.float32)
+    batch_features = make_batch_features(cfg, ds, state.enc_params, quant=quant)
 
     # Device-resident fast path: upload the whole feature set to HBM once
     # (chunked — BASELINE.md documents the relay's large-transfer cliff) and
@@ -127,7 +104,7 @@ def main(argv=None) -> int:
 
     B = args.batch_size
     device_resident = (
-        encode is None
+        not end_to_end
         and hasattr(ds, "features")
         and ds.features.nbytes <= cfg.data.device_resident_max_bytes
     )

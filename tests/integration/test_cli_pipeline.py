@@ -93,6 +93,15 @@ def test_train_and_generate_end_to_end_encoder(tmp_path):
     assert rc == 0
     d = json.load(open(out))
     assert len(d["scene_graphs"]) == 4
+    # evaluate also supports end-to-end configs (encodes per batch through
+    # the checkpoint's backbone) — multi-k line must print and return 0
+    from sgg.cli import evaluate as cli_evaluate
+
+    rc = cli_evaluate.main(
+        ["--workdir", wd, "--split", "test", "--k", "5,10",
+         "--num-samples", "4", "--num-images", "4", "--batch-size", "2"]
+    )
+    assert rc == 0
 
 
 def test_generate_without_checkpoint_fails_cleanly(pipedir, tmp_path):
