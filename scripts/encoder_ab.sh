@@ -53,6 +53,7 @@ for arm in frozen:false trainable:true; do
   log "eval arm $name (EMA weights, held-out split, multi-k + zero-shot)"
   python -m sgg.cli.evaluate --workdir "$WD" --split test \
     --k 20,50,100 --num-samples 100 --batch-size 64 --num-images 2048 \
+    --predcls \
     --zero-shot --ema --platform axon \
     || { log "arm $name eval failed"; exit 1; }
   sleep 90

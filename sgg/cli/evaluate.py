@@ -52,6 +52,13 @@ def main(argv=None) -> int:
     p.add_argument("--zero-shot", action="store_true",
                    help="also report zero-shot recall: recall over held-out "
                         "GT triples never seen in the training split")
+    p.add_argument("--predcls", action="store_true",
+                   help="also report predicate classification (PredCls): "
+                        "rank predicates with the decode clamped to each GT "
+                        "(subject, object) pair; P-R@k = GT predicate in "
+                        "top-k of the conditional distribution")
+    p.add_argument("--predcls-samples", type=int, default=16,
+                   help="noise draws mixture-averaged per PredCls row")
     p.add_argument("--seed", type=int, default=0)
     add_platform_arg(p)
     args = p.parse_args(argv)
@@ -135,6 +142,47 @@ def main(argv=None) -> int:
         print(
             f"[sgg.evaluate] zero-shot ({n_zs}/{n_images} images with "
             f"GT triples unseen in {len(seen)} train triples): {rep}",
+            flush=True,
+        )
+    if args.predcls:
+        from sgg.eval import make_predcls_scorer, predicate_recall
+
+        scorer = make_predcls_scorer(
+            cfg, step_mask=vocab.step_mask(),
+            num_samples=args.predcls_samples, tau=args.temperature,
+        )
+        img_rows, s_rows, p_rows, o_rows = [], [], [], []
+        for i in range(n_images):
+            for (s, pr, o) in gt_triples[i]:
+                img_rows.append(i)
+                s_rows.append(s)
+                p_rows.append(pr)
+                o_rows.append(o)
+        img_rows = np.asarray(img_rows, np.int32)
+        s_rows = np.asarray(s_rows, np.int32)
+        p_rows = np.asarray(p_rows, np.int32)
+        o_rows = np.asarray(o_rows, np.int32)
+        n_rows = len(img_rows)
+        scores = np.zeros((n_rows, len(vocab)), np.float32)
+        for lo in range(0, n_rows, B):
+            hi = min(lo + B, n_rows)
+            sel = slice(lo, hi)
+            feats = batch_features(img_rows[sel])
+            subj, obj = s_rows[sel], o_rows[sel]
+            if hi - lo < B:  # pad to the compiled batch shape
+                pad = B - (hi - lo)
+                feats = np.concatenate([feats, np.repeat(feats[-1:], pad, 0)])
+                subj = np.concatenate([subj, np.repeat(subj[-1:], pad)])
+                obj = np.concatenate([obj, np.repeat(obj[-1:], pad)])
+            rng, sub = jax.random.split(rng)
+            scores[sel] = np.asarray(scorer(g_params, feats, subj, obj, sub))[
+                : hi - lo
+            ]
+        pr = predicate_recall(scores, p_rows, ks)
+        rep = " ".join(f"P-R@{k} = {pr[k]:.4f}" for k in ks)
+        print(
+            f"[sgg.evaluate] predcls ({n_rows} GT triples, "
+            f"{args.predcls_samples} draws/row): {rep}",
             flush=True,
         )
     if args.per_predicate:

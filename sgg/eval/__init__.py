@@ -11,6 +11,7 @@ from sgg.eval.sampler import (
     device_put_features,
     make_dp_sampler,
     make_indexed_sampler,
+    make_predcls_scorer,
     make_sampler,
 )
 from sgg.eval.recall import (
@@ -18,6 +19,7 @@ from sgg.eval.recall import (
     corpus_recall,
     corpus_recall_multi,
     corpus_zero_shot_recall,
+    predicate_recall,
     recall_at_k,
 )
 
@@ -25,6 +27,7 @@ __all__ = [
     "make_sampler",
     "make_indexed_sampler",
     "make_dp_sampler",
+    "make_predcls_scorer",
     "device_put_features",
     "assemble_scene_graph",
     "assemble_scene_graphs",
@@ -33,4 +36,5 @@ __all__ = [
     "corpus_recall_multi",
     "corpus_mean_recall",
     "corpus_zero_shot_recall",
+    "predicate_recall",
 ]

@@ -159,3 +159,19 @@ def corpus_mean_recall(
     }
     mr = float(np.mean([r for r, _ in table.values()])) if table else 0.0
     return mr, table
+
+
+def predicate_recall(
+    scores: np.ndarray, gt_pred: np.ndarray, ks: list[int]
+) -> dict[int, float]:
+    """PredCls metric: fraction of (image, GT subject, GT object) rows whose
+    ground-truth predicate ranks in the top-k of the conditional predicate
+    scores. ``scores`` float[N, V] (higher = better), ``gt_pred`` int[N].
+    Rank counts strictly-greater scores, so exact ties resolve in the GT's
+    favor (rank is the optimistic one) — deterministic and documented.
+    """
+    scores = np.asarray(scores)
+    gt = np.asarray(gt_pred)
+    gt_scores = scores[np.arange(len(gt)), gt]
+    rank = (scores > gt_scores[:, None]).sum(axis=1)  # 0 = top
+    return {k: float((rank < k).mean()) if len(gt) else 0.0 for k in ks}

@@ -303,3 +303,46 @@ def assemble_scene_graph(
     if image_id is not None:
         out["image_id"] = int(image_id)
     return out
+
+
+def make_predcls_scorer(
+    cfg: Config, step_mask=None, num_samples: int = 16, tau: float | None = None
+):
+    """Predicate-classification scorer: (g_params, feats [B,R,F], subj i32[B],
+    obj i32[B], rng) → float32[B, V] log p(predicate | subject, image).
+
+    The standard SGG "PredCls" protocol (rank predicates given the GT
+    entity pair) mapped onto this generator: the decode is clamped to the
+    ground-truth subject at step 0 (and object at step 2, inert for the
+    predicate step's logits under the s→p→o order), and the predicate
+    step's log-softmax is mixture-averaged over ``num_samples`` noise
+    draws — log(1/K Σ softmax(logits_k)) via logsumexp. For the
+    non-autoregressive slot decoder the clamp cannot condition the
+    predicate slot, so this degrades to the marginal predicate
+    distribution (documented in TransformerTripleGenerator).
+    """
+    gen, _ = make_models(cfg)
+    mask = None if step_mask is None else jnp.asarray(step_mask, bool)
+    tau_val = cfg.train.tau_min if tau is None else tau
+
+    def score(g_params, feats, subj, obj, rng):
+        B = feats.shape[0]
+        forced = jnp.stack([subj, jnp.zeros_like(subj), obj], axis=1)
+
+        def one(key):
+            kz, kg = jax.random.split(key)
+            z = jax.random.normal(kz, (B, cfg.model.noise_dim), cfg.model.dtype)
+            out = gen.apply(
+                {"params": g_params}, feats, z, kg,
+                tau=tau_val, hard=True, step_mask=mask,
+                forced_tokens=forced, forced_steps=(0, 2),
+            )
+            return jax.nn.log_softmax(
+                out["logits"][:, 1].astype(jnp.float32), axis=-1
+            )
+
+        keys = jax.random.split(rng, num_samples)
+        lps = jax.vmap(one)(keys)  # [K, B, V]
+        return jax.nn.logsumexp(lps, axis=0) - jnp.log(float(num_samples))
+
+    return jax.jit(score)

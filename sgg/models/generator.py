@@ -53,6 +53,8 @@ class AttentionLSTMGenerator(nn.Module):
         hard: bool = False,
         step_mask: jnp.ndarray | None = None,  # bool[3, V] from Vocab.step_mask()
         detach_sample: bool = False,
+        forced_tokens: jnp.ndarray | None = None,  # int32[B, 3]
+        forced_steps: tuple = (),  # static: which steps to clamp
     ) -> dict[str, jnp.ndarray]:
         """Decode one triple per image.
 
@@ -63,6 +65,16 @@ class AttentionLSTMGenerator(nn.Module):
         embedding table itself keeps gradients through later steps), and the
         output gains ``log_prob`` — float32[B], Σₜ log πₜ(tokenₜ | prefix).
         ``tau``/``hard`` are inert in this mode.
+
+        ``forced_steps``/``forced_tokens`` clamp decode steps to given ids
+        (conditional decoding): at each step t in ``forced_steps`` the
+        sampled output is replaced by one_hot(forced_tokens[:, t]), which is
+        what feeds back through the embedding — later steps genuinely
+        condition on the clamp (the decode is autoregressive). This is the
+        PredCls evaluation primitive: clamp subject (+object), read the
+        predicate step's logits. The per-step rng splits are unchanged, so
+        unforced steps draw the same noise as an unforced call with the
+        same key.
         """
         feats = feats.astype(self.dtype)
         z = z.astype(self.dtype)
@@ -117,7 +129,20 @@ class AttentionLSTMGenerator(nn.Module):
                                    jnp.asarray(-1e9, logits.dtype))
             rng, sub = jax.random.split(rng)
             logits32 = logits.astype(jnp.float32)
-            if detach_sample:
+            if t in forced_steps:
+                idx = forced_tokens[:, t]
+                y = jax.nn.one_hot(
+                    idx, self.vocab_size, dtype=jnp.float32
+                ).astype(self.dtype)
+                if detach_sample:
+                    # conditional likelihood of the clamped token
+                    logp_steps.append(
+                        jnp.take_along_axis(
+                            jax.nn.log_softmax(logits32, axis=-1),
+                            idx[:, None], axis=-1,
+                        )[:, 0]
+                    )
+            elif detach_sample:
                 # Gumbel-max: argmax(logits + g) is an EXACT draw from
                 # Categorical(softmax(logits)) — no relaxation, no tau.
                 g = sample_gumbel(sub, logits32.shape, jnp.float32)

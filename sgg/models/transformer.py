@@ -62,7 +62,15 @@ class TransformerTripleGenerator(nn.Module):
         hard: bool = False,
         step_mask: jnp.ndarray | None = None,
         detach_sample: bool = False,
+        forced_tokens: jnp.ndarray | None = None,  # int32[B, 3]
+        forced_steps: tuple = (),  # static: which slots to clamp
     ) -> dict[str, jnp.ndarray]:
+        # Interface parity with the LSTM decoder's conditional mode. The
+        # slot decoder is NON-autoregressive: clamping a slot replaces its
+        # output one-hot but CANNOT condition the other slots' logits (they
+        # depend only on the image and z). PredCls through this decoder
+        # therefore scores the marginal predicate distribution — documented
+        # behavior, asserted in tests.
         feats = feats.astype(self.dtype)
         z = z.astype(self.dtype)
         B = feats.shape[0]
@@ -114,6 +122,20 @@ class TransformerTripleGenerator(nn.Module):
             logits = jnp.where(m, logits, jnp.asarray(-1e9, logits.dtype))
 
         logits32 = logits.astype(jnp.float32)
+
+        def clamp(y, idx):
+            if not forced_steps:
+                return y, idx
+            fy = jax.nn.one_hot(
+                forced_tokens, self.vocab_size, dtype=jnp.float32
+            ).astype(self.dtype)
+            keep = jnp.asarray(
+                [t in forced_steps for t in range(TRIPLE_LEN)], bool
+            )[None, :, None]
+            y = jnp.where(keep, fy, y)
+            idx = jnp.where(keep[..., 0], forced_tokens, idx)
+            return y, idx
+
         if detach_sample:
             # Score-function (REINFORCE) sampling mode — see the LSTM
             # generator's docstring. The slot decoder is non-autoregressive,
@@ -124,6 +146,7 @@ class TransformerTripleGenerator(nn.Module):
             y = jax.lax.stop_gradient(
                 jax.nn.one_hot(idx, self.vocab_size, dtype=jnp.float32)
             ).astype(self.dtype)
+            y, idx = clamp(y, idx)
             log_prob = jnp.take_along_axis(
                 jax.nn.log_softmax(logits32, axis=-1), idx[..., None], axis=-1
             )[..., 0].sum(axis=-1)  # float32[B]
@@ -135,9 +158,10 @@ class TransformerTripleGenerator(nn.Module):
                 "log_prob": log_prob,
             }
         y = gumbel_softmax(rng, logits32, tau=tau, hard=hard).astype(self.dtype)
+        y, tokens = clamp(y, jnp.argmax(y, axis=-1))
         return {
             "soft": y,
             "logits": logits,
             "attention": attn_map,  # last layer's head-avg cross-attn [B,3,R]
-            "tokens": jnp.argmax(y, axis=-1),
+            "tokens": tokens,
         }

@@ -111,3 +111,53 @@ def test_zero_shot_recall_respects_topk_cut():
     gt = [[unseen]]
     zs, _ = corpus_zero_shot_recall(gen, gt, set(), [10, 20])
     assert zs[10] == 0.0 and zs[20] == 1.0
+
+
+def test_predicate_recall_ranks():
+    import pytest
+
+    from sgg.eval import predicate_recall
+
+    scores = np.array([
+        [0.9, 0.5, 0.1, 0.0],  # gt 0 → rank 0
+        [0.9, 0.5, 0.1, 0.0],  # gt 2 → rank 2
+        [0.1, 0.1, 0.1, 0.1],  # gt 3, all tied → optimistic rank 0
+    ])
+    gt = np.array([0, 2, 3])
+    r = predicate_recall(scores, gt, [1, 3])
+    assert r[1] == pytest.approx(2 / 3)
+    assert r[3] == pytest.approx(1.0)
+    assert predicate_recall(np.zeros((0, 4)), np.zeros(0, int), [1]) == {1: 0.0}
+
+
+def test_predcls_scorer_masks_and_determinism():
+    """Scorer output: a log-distribution restricted to predicate-legal
+    tokens, deterministic in the rng."""
+    import jax
+
+    from sgg.config import get_config
+    from sgg.eval import make_predcls_scorer
+    from sgg.train.state import create_train_state
+
+    cfg = get_config("smoke")
+    cfg.model.vocab_size = 12
+    cfg.data.regions, cfg.data.feat_dim = 4, 8
+    # step_mask: predicates legal only in tokens 6..9
+    mask = np.zeros((3, 12), bool)
+    mask[0, 2:6] = True
+    mask[1, 6:10] = True
+    mask[2, 2:6] = True
+    state = create_train_state(cfg, jax.random.key(0))
+    scorer = make_predcls_scorer(cfg, step_mask=mask, num_samples=3)
+    feats = np.random.RandomState(0).randn(5, 4, 8).astype(np.float32)
+    subj = np.array([2, 3, 4, 5, 2], np.int32)
+    obj = np.array([3, 2, 5, 4, 3], np.int32)
+    s1 = np.asarray(scorer(state.g_params, feats, subj, obj, jax.random.key(7)))
+    s2 = np.asarray(scorer(state.g_params, feats, subj, obj, jax.random.key(7)))
+    assert s1.shape == (5, 12)
+    np.testing.assert_array_equal(s1, s2)
+    # illegal predicate tokens carry ~zero probability
+    assert s1[:, :6].max() < -1e4 and s1[:, 10:].max() < -1e4
+    # legal region normalizes to ~1
+    p = np.exp(s1[:, 6:10]).sum(axis=1)
+    np.testing.assert_allclose(p, 1.0, rtol=1e-3)

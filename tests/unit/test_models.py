@@ -208,3 +208,63 @@ def test_transformer_detach_sample_mode(feats):
         )[..., 0].sum(-1)
     )
     np.testing.assert_allclose(np.asarray(out["log_prob"]), lp, rtol=1e-5)
+
+
+def test_generator_forced_decode_conditions_later_steps(feats):
+    """forced_tokens clamps the clamped steps' outputs exactly, and —
+    because the LSTM decode is autoregressive — changing the forced
+    subject genuinely changes the predicate step's logits."""
+    gen = AttentionLSTMGenerator(vocab_size=V, hidden=16, embed_dim=8,
+                                 attn_dim=8, noise_dim=4)
+    z = jnp.zeros((B, 4))
+    params = gen.init(jax.random.key(0), feats, z, jax.random.key(1))
+
+    def run(subj):
+        forced = jnp.stack(
+            [jnp.full((B,), subj, jnp.int32),
+             jnp.zeros((B,), jnp.int32),
+             jnp.full((B,), 7, jnp.int32)], axis=1)
+        return gen.apply(params, feats, z, jax.random.key(1),
+                         forced_tokens=forced, forced_steps=(0, 2))
+
+    out_a, out_b = run(3), run(5)
+    np.testing.assert_array_equal(np.asarray(out_a["tokens"][:, 0]), 3)
+    np.testing.assert_array_equal(np.asarray(out_b["tokens"][:, 0]), 5)
+    np.testing.assert_array_equal(np.asarray(out_a["tokens"][:, 2]), 7)
+    # one-hot feedback of a different subject must move step-1 logits
+    d = np.abs(np.asarray(out_a["logits"][:, 1] - out_b["logits"][:, 1])).max()
+    assert d > 1e-6
+    # step-0 logits are computed BEFORE the clamp — identical across runs
+    np.testing.assert_allclose(
+        np.asarray(out_a["logits"][:, 0]), np.asarray(out_b["logits"][:, 0])
+    )
+
+
+def test_transformer_forced_decode_is_marginal(feats):
+    """Slot decoder: the clamp replaces clamped slots' outputs but CANNOT
+    condition the predicate slot (non-autoregressive) — documented."""
+    from sgg.models.transformer import TransformerTripleGenerator
+
+    gen = TransformerTripleGenerator(vocab_size=V, hidden=16, embed_dim=8,
+                                     noise_dim=4, num_heads=2, num_layers=1)
+    z = jnp.zeros((B, 4))
+    params = gen.init(jax.random.key(0), feats, z, jax.random.key(1))
+
+    def run(subj):
+        forced = jnp.stack(
+            [jnp.full((B,), subj, jnp.int32),
+             jnp.zeros((B,), jnp.int32),
+             jnp.full((B,), 7, jnp.int32)], axis=1)
+        return gen.apply(params, feats, z, jax.random.key(1),
+                         forced_tokens=forced, forced_steps=(0, 2))
+
+    out_a, out_b = run(3), run(5)
+    np.testing.assert_array_equal(np.asarray(out_a["tokens"][:, 0]), 3)
+    np.testing.assert_array_equal(np.asarray(out_a["tokens"][:, 2]), 7)
+    # soft output at clamped slots is the exact one-hot
+    np.testing.assert_allclose(
+        np.asarray(out_a["soft"][:, 0, 3]), 1.0, rtol=1e-6)
+    # predicate logits are independent of the clamp (marginal)
+    np.testing.assert_allclose(
+        np.asarray(out_a["logits"][:, 1]), np.asarray(out_b["logits"][:, 1])
+    )
