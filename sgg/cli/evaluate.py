@@ -40,7 +40,15 @@ def main(argv=None) -> int:
                         "at the largest k) and the worst/best predicates")
     p.add_argument("--num-samples", type=int, default=100, help="noise draws per image")
     p.add_argument("--temperature", type=float, default=None,
-                   help="Gumbel sampling temperature (default: config tau_min)")
+                   help="sampling temperature: tokens ~ softmax(logits / T) "
+                        "(default 1.0 = the model's own distribution)")
+    p.add_argument("--rank", default="freq",
+                   choices=["freq", "freq_logp", "logp"],
+                   help="triple confidence order the recall@k cut uses: "
+                        "sample frequency (freq — ties first-sampled, the "
+                        "historical ordering), frequency with model "
+                        "log-prob tiebreak (freq_logp), or pure model "
+                        "probability mass (logp) — see sgg.eval.rank_triples")
     p.add_argument("--num-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--split", default="test", choices=["train", "test"])
@@ -86,7 +94,16 @@ def main(argv=None) -> int:
             return 1
         g_params = state.g_ema
 
+    with_logp = args.rank != "freq"
     if args.decode == "fused":
+        if with_logp:
+            print(
+                "[sgg.evaluate] --rank freq_logp/logp needs per-draw "
+                "log-probs, which the fused kernel does not emit; use "
+                "--decode xla",
+                file=sys.stderr,
+            )
+            return 2
         from sgg.eval.sampler import make_fused_sampler
 
         sampler = make_fused_sampler(
@@ -96,7 +113,7 @@ def main(argv=None) -> int:
     else:
         sampler = make_sampler(
             cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
-            tau=args.temperature,
+            tau=args.temperature, with_logp=with_logp,
         )
     # End-to-end configs: encode features per batch through the
     # checkpoint's backbone (shared path with sgg.cli.generate).
@@ -105,7 +122,7 @@ def main(argv=None) -> int:
     batch_features = make_batch_features(cfg, ds, state.enc_params)
 
     rng = jax.random.key(args.seed)
-    from collections import Counter
+    from sgg.eval import rank_triples
 
     gen_triples, gt_triples = [], []
     B = args.batch_size
@@ -117,10 +134,15 @@ def main(argv=None) -> int:
                 [feats, np.repeat(feats[-1:], B - feats.shape[0], axis=0)]
             )
         rng, sub = jax.random.split(rng)
-        tokens = np.asarray(sampler(g_params, feats, sub))
+        out = sampler(g_params, feats, sub)
+        if with_logp:
+            tokens, logp = (np.asarray(x) for x in out)
+        else:
+            tokens, logp = np.asarray(out), None
         for j, i in enumerate(idx):
-            counts = Counter(tuple(int(x) for x in row) for row in tokens[j])
-            gen_triples.append([t for t, _ in counts.most_common()])
+            gen_triples.append(rank_triples(
+                tokens[j], None if logp is None else logp[j], rank=args.rank
+            ))
             gt_triples.append([tuple(map(int, t)) for t in ds.triples[i]])
 
     ks = sorted({int(k) for k in str(args.k).split(",") if k.strip()})

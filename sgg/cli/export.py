@@ -37,7 +37,8 @@ def main(argv=None) -> int:
     p.add_argument("--num-samples", type=int, default=50,
                    help="noise draws per image baked into the program")
     p.add_argument("--temperature", type=float, default=None,
-                   help="sampling temperature (default: config tau_min)")
+                   help="sampling temperature: tokens ~ softmax(logits / T) "
+                        "(default 1.0)")
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma-separated lowering targets in one artifact")
     p.add_argument("--with-encoder", action="store_true",

@@ -34,8 +34,15 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help="output JSON path (default: workdir/scene_graphs.json)")
     p.add_argument("--num-samples", type=int, default=50, help="noise draws per image")
     p.add_argument("--temperature", type=float, default=None,
-                   help="Gumbel sampling temperature (default: config tau_min). "
+                   help="sampling temperature: tokens ~ softmax(logits / T) "
+                        "(default 1.0 = the model's own distribution). "
                         "Higher = more diverse triples, lower = mode-seeking")
+    p.add_argument("--rank", default="freq",
+                   choices=["freq", "freq_logp", "logp"],
+                   help="triple confidence order: sample frequency (freq, "
+                        "ties lexicographic), frequency with model log-prob "
+                        "tiebreak (freq_logp), or pure model probability "
+                        "mass (logp) — see sgg.eval.rank_triples")
     p.add_argument("--num-images", type=int, default=None, help="limit images")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--recall-k", type=int, default=None, help="also report recall@k vs ground truth")
@@ -103,6 +110,14 @@ def main(argv=None) -> int:
     )
 
     B = args.batch_size
+    with_logp = args.rank != "freq"
+    if with_logp and args.decode == "fused":
+        print(
+            "[sgg.generate] --rank freq_logp/logp needs per-draw log-probs, "
+            "which the fused kernel does not emit; use --decode xla",
+            file=sys.stderr,
+        )
+        return 2
     device_resident = (
         not end_to_end
         and hasattr(ds, "features")
@@ -124,6 +139,7 @@ def main(argv=None) -> int:
             sampler = make_indexed_sampler(
                 cfg, step_mask=vocab.step_mask(),
                 num_samples=args.num_samples, tau=args.temperature,
+                with_logp=with_logp,
             )
     elif args.decode == "fused":
         sampler = make_fused_sampler(
@@ -133,7 +149,7 @@ def main(argv=None) -> int:
     else:
         sampler = make_sampler(
             cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
-            tau=args.temperature,
+            tau=args.temperature, with_logp=with_logp,
         )
 
     # Pipeline dispatches: issue the sampler for batch i+1 before reading
@@ -167,8 +183,14 @@ def main(argv=None) -> int:
     for pos, lo in enumerate(starts):
         idx, fut = pending
         pending = dispatch(starts[pos + 1]) if pos + 1 < len(starts) else None
-        tokens = np.asarray(fut)  # [B, K, 3] — sync point
-        gs, ids = assemble_scene_graphs(tokens[: len(idx)], vocab, idx)
+        if with_logp:
+            tokens, logp = (np.asarray(x) for x in fut)  # sync point
+            logp = logp[: len(idx)]
+        else:
+            tokens, logp = np.asarray(fut), None  # [B, K, 3] — sync point
+        gs, ids = assemble_scene_graphs(
+            tokens[: len(idx)], vocab, idx, logp=logp, rank=args.rank
+        )
         graphs.extend(gs)
         gen_triples.extend(ids)
         gt_triples.extend(

@@ -40,7 +40,8 @@ def main(argv=None) -> int:
     p.add_argument("--num-samples", type=int, default=50,
                    help="noise draws per image")
     p.add_argument("--temperature", type=float, default=None,
-                   help="Gumbel sampling temperature (default: config tau_min)")
+                   help="sampling temperature: tokens ~ softmax(logits / T) "
+                        "(default 1.0)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", type=int, default=0,
                    help="shard each batch over this many chips "

@@ -13,6 +13,7 @@ from sgg.eval.sampler import (
     make_indexed_sampler,
     make_predcls_scorer,
     make_sampler,
+    rank_triples,
 )
 from sgg.eval.recall import (
     corpus_mean_recall,
@@ -31,6 +32,7 @@ __all__ = [
     "device_put_features",
     "assemble_scene_graph",
     "assemble_scene_graphs",
+    "rank_triples",
     "recall_at_k",
     "corpus_recall",
     "corpus_recall_multi",

@@ -12,12 +12,20 @@ Sampling semantics and deviations from the reference, documented
   - ranking: generated triples are ordered by SAMPLE FREQUENCY across the
     k noise draws (a Monte-Carlo confidence proxy), which is what recall@k
     cuts on. The reference has no explicit ranking (it emits the deduped
-    sample set); frequency ranking is this framework's choice.
-  - temperature: the Gumbel-softmax ``tau`` is the sampling temperature —
-    higher spreads probability over more triples per image, lower is
-    mode-seeking. Exposed as ``--temperature`` on generate/evaluate
-    (default: the config's ``tau_min``, i.e. the temperature the
-    generator converged at).
+    sample set); frequency ranking is this framework's choice. With
+    ``with_logp=True`` the samplers also return each draw's joint model
+    log-probability (free at decode time), and :func:`rank_triples`
+    offers ``freq_logp`` (log-prob tiebreak) and ``logp`` (pure
+    probability-mass) orderings — ``--rank`` on evaluate/generate.
+  - temperature: ``tau`` on the samplers is the SAMPLING temperature —
+    tokens are drawn from softmax(masked logits / tau); higher spreads
+    probability over more triples per image, lower is mode-seeking.
+    ``None`` ≡ 1.0, the model's own distribution. (Round-3 finding: the
+    Gumbel-softmax relaxation τ the flag used to forward was provably
+    INERT for ``hard=True`` tokens — argmax is τ-invariant — so every
+    earlier eval effectively sampled at temperature 1.0; the default is
+    now explicitly that, and the knob is real via ``sample_temp`` on the
+    decoders.)
   - no beam search, deliberately: the decode is exactly 3 tokens, so
     k-sample ancestral sampling with dedupe already covers the space a
     3-step beam would, without the sequential dependency.
@@ -36,11 +44,24 @@ from sgg.data.vocab import Vocab
 from sgg.train.state import make_models
 
 
-def make_sampler(cfg: Config, step_mask=None, num_samples: int = 50, tau: float | None = None):
-    """Build jitted (g_params, feats [B,R,F], rng) → tokens int32[B, K, 3]."""
+def make_sampler(
+    cfg: Config, step_mask=None, num_samples: int = 50,
+    tau: float | None = None, with_logp: bool = False,
+):
+    """Build jitted (g_params, feats [B,R,F], rng) → tokens int32[B, K, 3].
+
+    ``tau`` is the sampling temperature (None ≡ 1.0 — see module docstring).
+    ``with_logp=True`` switches to the decoders' exact gumbel-max sampling
+    mode and returns ``(tokens int32[B,K,3], logp float32[B,K])``, where
+    ``logp`` is each draw's untempered joint model log-probability
+    Σₜ log p(tokenₜ | prefix, z) — the ranking signal for
+    :func:`rank_triples`. Tokens are drawn from the same distribution as
+    the default path (and are bit-identical for the same rng on the
+    straight-through decoders — asserted in tests/unit/test_eval.py).
+    """
     gen, _ = make_models(cfg)
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
-    tau_val = cfg.train.tau_min if tau is None else tau
+    temp = 1.0 if tau is None else tau
 
     def sample(g_params, feats, rng):
         B = feats.shape[0]
@@ -50,11 +71,18 @@ def make_sampler(cfg: Config, step_mask=None, num_samples: int = 50, tau: float 
             z = jax.random.normal(kz, (B, cfg.model.noise_dim), cfg.model.dtype)
             out = gen.apply(
                 {"params": g_params}, feats, z, kg,
-                tau=tau_val, hard=True, step_mask=mask,
+                tau=1.0, hard=True, step_mask=mask,
+                detach_sample=with_logp, sample_temp=temp,
             )
+            if with_logp:
+                return (out["tokens"].astype(jnp.int32),
+                        out["log_prob"].astype(jnp.float32))
             return out["tokens"].astype(jnp.int32)
 
         keys = jax.random.split(rng, num_samples)
+        if with_logp:
+            toks, lps = jax.vmap(one)(keys)  # [K, B, 3], [K, B]
+            return jnp.transpose(toks, (1, 0, 2)), jnp.transpose(lps)
         toks = jax.vmap(one)(keys)  # [K, B, 3]
         return jnp.transpose(toks, (1, 0, 2))  # [B, K, 3]
 
@@ -62,7 +90,8 @@ def make_sampler(cfg: Config, step_mask=None, num_samples: int = 50, tau: float 
 
 
 def make_indexed_sampler(
-    cfg: Config, step_mask=None, num_samples: int = 50, tau: float | None = None
+    cfg: Config, step_mask=None, num_samples: int = 50,
+    tau: float | None = None, with_logp: bool = False,
 ):
     """Device-resident variant: (g_params, feats_dev [N,R,F], idx i32[B], rng)
     → tokens int32[B, K, 3], with the feature gather INSIDE the jit.
@@ -70,11 +99,11 @@ def make_indexed_sampler(
     Through a relay-attached TPU (~40 MB/s host→device) re-uploading a
     [B,196,512] feature slab per batch dominates generate wall-clock; with
     the whole feature set resident in HBM, per-batch traffic is B indices up
-    and B·K·3 int32 down.
+    and B·K·3 int32 down. ``tau``/``with_logp`` as in :func:`make_sampler`.
     """
     gen, _ = make_models(cfg)
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
-    tau_val = cfg.train.tau_min if tau is None else tau
+    temp = 1.0 if tau is None else tau
 
     def sample(g_params, feats_dev, idx, rng):
         feats = jnp.take(feats_dev, idx, axis=0)  # [B, R, F] gather in HBM
@@ -85,11 +114,18 @@ def make_indexed_sampler(
             z = jax.random.normal(kz, (B, cfg.model.noise_dim), cfg.model.dtype)
             out = gen.apply(
                 {"params": g_params}, feats, z, kg,
-                tau=tau_val, hard=True, step_mask=mask,
+                tau=1.0, hard=True, step_mask=mask,
+                detach_sample=with_logp, sample_temp=temp,
             )
+            if with_logp:
+                return (out["tokens"].astype(jnp.int32),
+                        out["log_prob"].astype(jnp.float32))
             return out["tokens"].astype(jnp.int32)
 
         keys = jax.random.split(rng, num_samples)
+        if with_logp:
+            toks, lps = jax.vmap(one)(keys)  # [K, B, 3], [K, B]
+            return jnp.transpose(toks, (1, 0, 2)), jnp.transpose(lps)
         toks = jax.vmap(one)(keys)  # [K, B, 3]
         return jnp.transpose(toks, (1, 0, 2))  # [B, K, 3]
 
@@ -115,7 +151,7 @@ def make_dp_sampler(
 
     gen, _ = make_models(cfg)
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
-    tau_val = cfg.train.tau_min if tau is None else tau
+    temp = 1.0 if tau is None else tau
 
     def sample(g_params, feats, rng):
         B = feats.shape[0]
@@ -125,7 +161,7 @@ def make_dp_sampler(
             z = jax.random.normal(kz, (B, cfg.model.noise_dim), cfg.model.dtype)
             out = gen.apply(
                 {"params": g_params}, feats, z, kg,
-                tau=tau_val, hard=True, step_mask=mask,
+                tau=1.0, hard=True, step_mask=mask, sample_temp=temp,
             )
             return out["tokens"].astype(jnp.int32)
 
@@ -164,8 +200,16 @@ def make_fused_sampler(
         step_mask_bias,
     )
 
+    if tau is not None and float(tau) != 1.0:
+        # In-kernel sampling is argmax((logits+g)/τ) — τ-invariant — so a
+        # requested temperature would be a silent no-op. The XLA samplers
+        # implement real temperature (sample_temp); refuse rather than lie.
+        raise ValueError(
+            "fused decode samples at temperature 1.0 only; use the XLA "
+            "sampler (--decode xla) for --temperature"
+        )
     mask_bias = None if step_mask is None else step_mask_bias(step_mask)
-    tau_val = cfg.train.tau_min if tau is None else tau
+    tau_val = 1.0
     dtype = cfg.model.dtype
 
     def _tokens(g_params, feats, rng):
@@ -235,8 +279,52 @@ def device_put_features(
     return store
 
 
+def rank_triples(
+    tokens: np.ndarray, logp: np.ndarray | None = None, rank: str = "freq"
+) -> list[tuple[int, int, int]]:
+    """Rank one image's K sampled triples → deduped [(s,p,o)], best first.
+
+    ``tokens`` int[K, 3]; ``logp`` float[K] — each draw's joint model
+    log-probability (``with_logp=True`` on the samplers) — or None. Modes:
+      - ``freq``: sample count desc, ties by first-sampled order (the
+        historical evaluate ordering, ``Counter.most_common``).
+      - ``freq_logp``: count desc, ties by the triple's aggregated model
+        log-prob desc — replaces the arbitrary tie order inside each
+        count class (at K=100 draws most emitted triples are singletons,
+        so the tie class IS the ranking tail).
+      - ``logp``: pure probability-mass order: per unique triple,
+        logsumexp of its draws' log-probs (− log K, dropped as
+        rank-invariant) ≈ log of the triple's sampled mass — frequency
+        and magnitude both contribute.
+    """
+    tokens = np.asarray(tokens).reshape(-1, 3)
+    if rank != "freq" and logp is None:
+        raise ValueError(f"rank={rank!r} needs per-draw log-probs")
+    counts: dict = {}
+    first: dict = {}
+    agg: dict = {}
+    for i, row in enumerate(tokens):
+        t = (int(row[0]), int(row[1]), int(row[2]))
+        counts[t] = counts.get(t, 0) + 1
+        if t not in first:
+            first[t] = i
+        if logp is not None:
+            lp = float(logp[i])
+            agg[t] = float(np.logaddexp(agg[t], lp)) if t in agg else lp
+    if rank == "freq":
+        key = lambda t: (-counts[t], first[t])  # noqa: E731
+    elif rank == "freq_logp":
+        key = lambda t: (-counts[t], -agg[t])  # noqa: E731
+    elif rank == "logp":
+        key = lambda t: -agg[t]  # noqa: E731
+    else:
+        raise ValueError(f"unknown rank mode {rank!r}")
+    return sorted(counts, key=key)
+
+
 def assemble_scene_graphs(
-    tokens: np.ndarray, vocab: Vocab, image_ids
+    tokens: np.ndarray, vocab: Vocab, image_ids,
+    logp: np.ndarray | None = None, rank: str = "freq",
 ) -> tuple[list[dict], list[list[tuple[int, int, int]]]]:
     """Batch dedupe/aggregate: tokens int[B, K, 3] → (graphs, id_triples).
 
@@ -245,17 +333,47 @@ def assemble_scene_graphs(
     once sampling went device-resident (this host has a single core).
     ``id_triples`` lists each image's unique (s,p,o) id triples in the same
     confidence order as the graph, for recall scoring without re-encoding.
+
+    ``logp`` float[B, K] (per-draw joint model log-probs) enables the
+    ``freq_logp``/``logp`` orderings of :func:`rank_triples`; the default
+    ``freq`` here breaks count ties LEXICOGRAPHICALLY (stable under the
+    batched unique, unlike the per-image first-sampled order). Triple dicts
+    gain a ``"logp"`` field (the triple's aggregated log-mass) when
+    ``logp`` is given.
     """
     tokens = np.asarray(tokens)
     B, K, _ = tokens.shape
     img = np.repeat(np.arange(B, dtype=np.int64), K)[:, None]
     flat = np.concatenate([img, tokens.reshape(-1, 3)], axis=1)
-    uniq, counts = np.unique(flat, axis=0, return_counts=True)
-    # per image: count desc, ties lexicographic (matches the single-image
-    # assemble below)
-    order = np.lexsort((-counts,))  # stable; uniq already image-major
-    order = order[np.argsort(uniq[order, 0], kind="stable")]
+    uniq, inverse, counts = np.unique(
+        flat, axis=0, return_inverse=True, return_counts=True
+    )
+    inverse = np.asarray(inverse).reshape(-1)  # numpy 2.x shape back-compat
+    group_lp = None
+    if logp is not None:
+        # Segmented logsumexp of draw log-probs per unique (img, s, p, o).
+        lp = np.asarray(logp, np.float64).reshape(-1)
+        order = np.argsort(inverse, kind="stable")
+        starts = np.r_[0, np.cumsum(counts)[:-1]]
+        m = np.maximum.reduceat(lp[order], starts)
+        sums = np.add.reduceat(np.exp(lp[order] - np.repeat(m, counts)), starts)
+        group_lp = m + np.log(sums)
+    if rank == "freq":
+        order = np.lexsort((-counts,))  # count desc, ties lexicographic
+    elif rank == "freq_logp":
+        if group_lp is None:
+            raise ValueError("rank='freq_logp' needs logp")
+        order = np.lexsort((-group_lp, -counts))
+    elif rank == "logp":
+        if group_lp is None:
+            raise ValueError("rank='logp' needs logp")
+        order = np.lexsort((-group_lp,))
+    else:
+        raise ValueError(f"unknown rank mode {rank!r}")
+    order = order[np.argsort(uniq[order, 0], kind="stable")]  # image-major
     uniq, counts = uniq[order], counts[order]
+    if group_lp is not None:
+        group_lp = group_lp[order]
     bounds = np.searchsorted(uniq[:, 0], np.arange(B + 1))
 
     decode_cache: dict = {}
@@ -263,16 +381,18 @@ def assemble_scene_graphs(
     for b in range(B):
         lo, hi = bounds[b], bounds[b + 1]
         triples, ids = [], []
-        for row, c in zip(uniq[lo:hi, 1:], counts[lo:hi]):
+        for j in range(lo, hi):
+            row, c = uniq[j, 1:], counts[j]
             t = (int(row[0]), int(row[1]), int(row[2]))
             ids.append(t)
             names = decode_cache.get(t)
             if names is None:
                 names = decode_cache[t] = vocab.decode_triple(t)
-            triples.append(
-                {"subject": names[0], "predicate": names[1],
+            d = {"subject": names[0], "predicate": names[1],
                  "object": names[2], "count": int(c)}
-            )
+            if group_lp is not None:
+                d["logp"] = float(group_lp[j])
+            triples.append(d)
         graphs.append({"triples": triples, "image_id": int(image_ids[b])})
         id_triples.append(ids)
     return graphs, id_triples
@@ -320,10 +440,16 @@ def make_predcls_scorer(
     non-autoregressive slot decoder the clamp cannot condition the
     predicate slot, so this degrades to the marginal predicate
     distribution (documented in TransformerTripleGenerator).
+
+    ``tau`` is accepted for CLI symmetry but irrelevant here: the ranking
+    reads log-softmaxed LOGITS (temperature is a monotone rescale, so
+    P-R@k is invariant), and with s/o clamped nothing downstream depends
+    on the sampled predicate draw.
     """
+    del tau
     gen, _ = make_models(cfg)
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
-    tau_val = cfg.train.tau_min if tau is None else tau
+    tau_val = 1.0
 
     def score(g_params, feats, subj, obj, rng):
         B = feats.shape[0]

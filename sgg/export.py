@@ -145,8 +145,7 @@ def export_sampler(
         "regions": int(cfg.data.regions),
         "feat_dim": int(cfg.data.feat_dim),
         "feats_dtype": cfg.model.compute_dtype,
-        "temperature": (cfg.train.tau_min if temperature is None
-                        else float(temperature)),
+        "temperature": 1.0 if temperature is None else float(temperature),
         "platforms": list(platforms),
         "vocab_tokens": list(vocab.tokens),
         "vocab_is_object": [bool(b) for b in vocab.is_object],

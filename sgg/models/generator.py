@@ -55,8 +55,18 @@ class AttentionLSTMGenerator(nn.Module):
         detach_sample: bool = False,
         forced_tokens: jnp.ndarray | None = None,  # int32[B, 3]
         forced_steps: tuple = (),  # static: which steps to clamp
+        sample_temp: float | jnp.ndarray | None = None,
     ) -> dict[str, jnp.ndarray]:
         """Decode one triple per image.
+
+        ``sample_temp`` is the INFERENCE sampling temperature: tokens are
+        drawn from Categorical(softmax(masked logits / sample_temp)).
+        ``None`` ≡ 1.0 (the model's own distribution). It is distinct from
+        ``tau``, the Gumbel-softmax RELAXATION temperature, which shapes
+        gradients but — by argmax invariance — never changes which token a
+        ``hard=True`` forward pass emits (asserted in tests/unit/
+        test_models.py). Reported ``log_prob`` is always the UNtempered
+        (temp-1) model joint, the quantity ranking wants.
 
         ``detach_sample=True`` is the score-function (REINFORCE) sampling
         mode: tokens are exact categorical draws via gumbel-max, the one-hot
@@ -129,6 +139,7 @@ class AttentionLSTMGenerator(nn.Module):
                                    jnp.asarray(-1e9, logits.dtype))
             rng, sub = jax.random.split(rng)
             logits32 = logits.astype(jnp.float32)
+            samp32 = logits32 if sample_temp is None else logits32 / sample_temp
             if t in forced_steps:
                 idx = forced_tokens[:, t]
                 y = jax.nn.one_hot(
@@ -146,7 +157,7 @@ class AttentionLSTMGenerator(nn.Module):
                 # Gumbel-max: argmax(logits + g) is an EXACT draw from
                 # Categorical(softmax(logits)) — no relaxation, no tau.
                 g = sample_gumbel(sub, logits32.shape, jnp.float32)
-                idx = jnp.argmax(logits32 + g, axis=-1)
+                idx = jnp.argmax(samp32 + g, axis=-1)
                 y = jax.lax.stop_gradient(
                     jax.nn.one_hot(idx, self.vocab_size, dtype=jnp.float32)
                 ).astype(self.dtype)
@@ -157,7 +168,7 @@ class AttentionLSTMGenerator(nn.Module):
                     )[:, 0]
                 )
             else:
-                y = gumbel_softmax(sub, logits32, tau=tau,
+                y = gumbel_softmax(sub, samp32, tau=tau,
                                    hard=hard).astype(self.dtype)
             prev_emb = y @ embedding
             soft_steps.append(y)

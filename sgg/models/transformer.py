@@ -64,6 +64,7 @@ class TransformerTripleGenerator(nn.Module):
         detach_sample: bool = False,
         forced_tokens: jnp.ndarray | None = None,  # int32[B, 3]
         forced_steps: tuple = (),  # static: which slots to clamp
+        sample_temp: float | jnp.ndarray | None = None,
     ) -> dict[str, jnp.ndarray]:
         # Interface parity with the LSTM decoder's conditional mode. The
         # slot decoder is NON-autoregressive: clamping a slot replaces its
@@ -122,6 +123,9 @@ class TransformerTripleGenerator(nn.Module):
             logits = jnp.where(m, logits, jnp.asarray(-1e9, logits.dtype))
 
         logits32 = logits.astype(jnp.float32)
+        # Inference sampling temperature (tokens ~ softmax(logits / temp));
+        # see AttentionLSTMGenerator.__call__ — log_prob stays untempered.
+        samp32 = logits32 if sample_temp is None else logits32 / sample_temp
 
         def clamp(y, idx):
             if not forced_steps:
@@ -142,7 +146,7 @@ class TransformerTripleGenerator(nn.Module):
             # so the three tokens are independent draws given the slots:
             # log_prob is just the sum of the three per-slot log-softmaxes.
             g = sample_gumbel(rng, logits32.shape, jnp.float32)
-            idx = jnp.argmax(logits32 + g, axis=-1)  # [B, 3]
+            idx = jnp.argmax(samp32 + g, axis=-1)  # [B, 3]
             y = jax.lax.stop_gradient(
                 jax.nn.one_hot(idx, self.vocab_size, dtype=jnp.float32)
             ).astype(self.dtype)
@@ -157,7 +161,7 @@ class TransformerTripleGenerator(nn.Module):
                 "tokens": idx,
                 "log_prob": log_prob,
             }
-        y = gumbel_softmax(rng, logits32, tau=tau, hard=hard).astype(self.dtype)
+        y = gumbel_softmax(rng, samp32, tau=tau, hard=hard).astype(self.dtype)
         y, tokens = clamp(y, jnp.argmax(y, axis=-1))
         return {
             "soft": y,

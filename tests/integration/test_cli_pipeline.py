@@ -172,6 +172,22 @@ def test_train_ema_and_evaluate_zero_shot(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "zsR@10" in out and "zero-shot" in out
 
+    # log-prob rankings run end to end through the CLI (with_logp sampler)
+    for rank in ("freq_logp", "logp"):
+        rc = cli_evaluate.main(
+            ["--workdir", str(wd), "--k", "10", "--num-samples", "4",
+             "--num-images", "6", "--batch-size", "4", "--rank", rank]
+        )
+        assert rc == 0
+        assert "recall@10" in capsys.readouterr().out
+    # ranking by log-prob needs per-draw log-probs the fused kernel lacks
+    rc = cli_evaluate.main(
+        ["--workdir", str(wd), "--k", "10", "--num-samples", "4",
+         "--num-images", "6", "--batch-size", "4", "--rank", "logp",
+         "--decode", "fused"]
+    )
+    assert rc == 2
+
     # --ema against a run trained WITHOUT EMA fails cleanly, not mid-sample.
     wd2 = tmp_path / "run_plain"
     assert cli_train.main(train_args(wd2, ema=False)) == 0

@@ -161,3 +161,170 @@ def test_predcls_scorer_masks_and_determinism():
     # legal region normalizes to ~1
     p = np.exp(s1[:, 6:10]).sum(axis=1)
     np.testing.assert_allclose(p, 1.0, rtol=1e-3)
+
+
+def test_rank_triples_freq_matches_counter_most_common():
+    """rank='freq' must reproduce the historical Counter.most_common order
+    (count desc, ties by first-sampled) bit for bit."""
+    from collections import Counter
+
+    from sgg.eval import rank_triples
+
+    rng = np.random.RandomState(3)
+    tokens = rng.randint(0, 4, size=(64, 3))
+    counts = Counter(tuple(int(x) for x in row) for row in tokens)
+    expect = [t for t, _ in counts.most_common()]
+    assert rank_triples(tokens) == expect
+
+
+def test_rank_triples_logp_modes():
+    from sgg.eval import rank_triples
+
+    # a sampled twice (low prob), b once (high prob), c once (mid prob)
+    a, b, c = (1, 1, 1), (2, 2, 2), (3, 3, 3)
+    tokens = np.array([a, b, a, c])
+    logp = np.array([-5.0, -1.0, -5.0, -3.0])
+    # freq: count desc, tie first-seen → a, then b before c
+    assert rank_triples(tokens, logp, rank="freq") == [a, b, c]
+    # freq_logp: a leads on count; the 1-count tie breaks by logp → b, c
+    assert rank_triples(tokens, logp, rank="freq_logp") == [a, b, c]
+    # logp: aggregated mass a = logaddexp(-5,-5) ≈ -4.31 → b(-1), c(-3), a
+    assert rank_triples(tokens, logp, rank="logp") == [b, c, a]
+    # duplicate draws accumulate: 3 copies of c at -3 ≈ -1.90 overtake a(-4.31)
+    tokens2 = np.array([a, a, c, c, c, b])
+    logp2 = np.array([-5.0, -5.0, -3.0, -3.0, -3.0, -1.0])
+    assert rank_triples(tokens2, logp2, rank="logp") == [b, c, a]
+    import pytest
+
+    with pytest.raises(ValueError):
+        rank_triples(tokens, None, rank="logp")
+    with pytest.raises(ValueError):
+        rank_triples(tokens, logp, rank="bogus")
+
+
+def _tiny_cfg(decoder="lstm"):
+    from sgg.config import get_config
+
+    cfg = get_config("smoke")
+    cfg.model.decoder = decoder
+    cfg.model.vocab_size = 12
+    cfg.data.regions, cfg.data.feat_dim = 4, 8
+    return cfg
+
+
+def _step_mask12():
+    mask = np.zeros((3, 12), bool)
+    mask[0, 2:6] = True
+    mask[1, 6:10] = True
+    mask[2, 2:6] = True
+    return mask
+
+
+def test_with_logp_sampler_tokens_and_joint_logp():
+    """with_logp=True: same tokens as the plain sampler for the same rng,
+    and logp == the decoder's own conditional joint of those tokens
+    (recomputed via a fully-forced decode) — both decoder families."""
+    import jax
+
+    from sgg.eval import make_sampler
+    from sgg.train.state import create_train_state, make_models
+
+    for decoder in ("lstm", "transformer"):
+        cfg = _tiny_cfg(decoder)
+        mask = _step_mask12()
+        state = create_train_state(cfg, jax.random.key(0))
+        feats = np.random.RandomState(0).randn(3, 4, 8).astype(np.float32)
+        rng = jax.random.key(11)
+        plain = np.asarray(
+            make_sampler(cfg, step_mask=mask, num_samples=4)(
+                state.g_params, feats, rng
+            )
+        )
+        toks, logp = make_sampler(
+            cfg, step_mask=mask, num_samples=4, with_logp=True
+        )(state.g_params, feats, rng)
+        toks, logp = np.asarray(toks), np.asarray(logp)
+        np.testing.assert_array_equal(toks, plain)
+        # legality under the step mask
+        assert ((toks[..., 0] >= 2) & (toks[..., 0] < 6)).all()
+        assert ((toks[..., 1] >= 6) & (toks[..., 1] < 10)).all()
+        # exact oracle: replay the sampler's own key schedule through the
+        # decoder's detach_sample mode and compare tokens AND log_prob
+        gen, _ = make_models(cfg)
+        keys = jax.random.split(rng, 4)
+        for k in range(4):
+            kz, kg = jax.random.split(keys[k])
+            z = jax.random.normal(
+                kz, (3, cfg.model.noise_dim), cfg.model.dtype
+            )
+            out = gen.apply(
+                {"params": state.g_params}, feats, z, kg,
+                step_mask=mask, detach_sample=True, sample_temp=1.0,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out["tokens"]), toks[:, k]
+            )
+            np.testing.assert_allclose(
+                np.asarray(out["log_prob"]), logp[:, k], rtol=1e-6
+            )
+        assert logp.shape == (3, 4)
+        assert np.isfinite(logp).all() and (logp <= 0.0).all()
+
+
+def test_sampling_temperature_is_real():
+    """temp → 0 collapses every draw to the per-z mode; the old inert-τ
+    behavior (all temperatures identical) must be gone."""
+    import jax
+
+    from sgg.eval import make_sampler
+    from sgg.train.state import create_train_state
+
+    cfg = _tiny_cfg("lstm")
+    mask = _step_mask12()
+    state = create_train_state(cfg, jax.random.key(0))
+    feats = np.random.RandomState(1).randn(4, 4, 8).astype(np.float32)
+    rng = jax.random.key(5)
+    t_cold = np.asarray(
+        make_sampler(cfg, step_mask=mask, num_samples=16, tau=1e-4)(
+            state.g_params, feats, rng
+        )
+    )
+    t_hot = np.asarray(
+        make_sampler(cfg, step_mask=mask, num_samples=16, tau=50.0)(
+            state.g_params, feats, rng
+        )
+    )
+    # the knob does something
+    assert not np.array_equal(t_cold, t_hot)
+    # hot sampling spreads over strictly more unique triples than cold
+    def n_unique(t):
+        return sum(
+            len({tuple(r) for r in t[b]}) for b in range(t.shape[0])
+        )
+
+    assert n_unique(t_hot) > n_unique(t_cold)
+    # both stay inside the legal sub-vocabularies
+    for t in (t_cold, t_hot):
+        assert ((t[..., 0] >= 2) & (t[..., 0] < 6)).all()
+        assert ((t[..., 1] >= 6) & (t[..., 1] < 10)).all()
+        assert ((t[..., 2] >= 2) & (t[..., 2] < 6)).all()
+
+
+def test_assemble_scene_graphs_logp_ranking():
+    from sgg.data.vocab import Vocab
+    from sgg.eval import assemble_scene_graphs, rank_triples
+
+    vocab = Vocab([f"t{i}" for i in range(6)], [True] * 6, [True] * 6)
+    rng = np.random.RandomState(7)
+    tokens = rng.randint(0, 6, size=(3, 20, 3))
+    logp = rng.uniform(-8.0, -0.5, size=(3, 20)).astype(np.float32)
+    for mode in ("freq_logp", "logp"):
+        graphs, ids = assemble_scene_graphs(
+            tokens, vocab, [10, 11, 12], logp=logp, rank=mode
+        )
+        for b in range(3):
+            assert ids[b] == rank_triples(tokens[b], logp[b], rank=mode)
+            assert all("logp" in t for t in graphs[b]["triples"])
+    # default stays the batched lexicographic-tie ordering, no logp field
+    graphs, _ = assemble_scene_graphs(tokens, vocab, [0, 1, 2])
+    assert all("logp" not in t for g in graphs for t in g["triples"])
