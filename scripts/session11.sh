@@ -27,6 +27,29 @@ fi
 
 [ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
 
+# Stage 0: ranking/temperature sweep on the balanced checkpoint — the first
+# MEANINGFUL temperature measurement (the knob was inert until round 3's
+# sample_temp fix) plus the new --rank orderings. Eval-only: cheap, and the
+# winner applies retroactively to every trained checkpoint.
+BWD="$D/run_v3_bal0.7"
+if [ -d "$BWD/checkpoints" ] && [ ! -f "$D/rank_ab.done" ]; then
+  log "stage 0: rank/temperature sweep (4096 held-out images, EMA weights)"
+  for combo in freq:1.0 freq_logp:1.0 logp:1.0 freq:0.7 freq:1.3 \
+               logp:0.7 logp:1.3; do
+    r="${combo%%:*}"; t="${combo##*:}"
+    log "stage 0: rank=$r temperature=$t"
+    python -m sgg.cli.evaluate --workdir "$BWD" --split test \
+      --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
+      --rank "$r" --temperature "$t" --ema --platform axon \
+      || { log "stage 0 combo $combo failed"; exit 1; }
+    sleep 60
+  done
+  touch "$D/rank_ab.done"
+  sleep 30
+else
+  log "stage 0: skipped (no balanced checkpoint yet, or already done)"
+fi
+
 if [ ! -d "$WD/checkpoints/$STEPS" ]; then
   log "stage A: transformer-decoder train ($STEPS steps, v3 shards)"
   while :; do
