@@ -49,6 +49,13 @@ def main(argv=None) -> int:
                         "historical ordering), frequency with model "
                         "log-prob tiebreak (freq_logp), or pure model "
                         "probability mass (logp) — see sgg.eval.rank_triples")
+    p.add_argument("--predicate-adjust", type=float, default=0.0,
+                   metavar="ALPHA",
+                   help="logit adjustment for the long predicate tail "
+                        "(rank=logp only): subtract ALPHA·log p̂(predicate) "
+                        "— the train-split prior — from each triple's "
+                        "score, trading a little recall@k for mR@k "
+                        "(Menon et al. 2020)")
     p.add_argument("--num-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--split", default="test", choices=["train", "test"])
@@ -124,6 +131,23 @@ def main(argv=None) -> int:
     rng = jax.random.key(args.seed)
     from sgg.eval import rank_triples
 
+    pred_adjust = None
+    if args.predicate_adjust:
+        if args.rank != "logp":
+            print(
+                "[sgg.evaluate] --predicate-adjust applies to --rank logp "
+                "only",
+                file=sys.stderr,
+            )
+            return 2
+        train_ds, _ = load_dataset(cfg, split="train")
+        counts = np.zeros(len(vocab), np.float64)
+        for trips in train_ds.triples:
+            for t in trips:
+                counts[int(t[1])] += 1.0
+        prior = (counts + 1.0) / (counts.sum() + len(vocab))  # smoothed
+        pred_adjust = args.predicate_adjust * np.log(prior)
+
     gen_triples, gt_triples = [], []
     B = args.batch_size
     for lo in range(0, n_images, B):
@@ -141,7 +165,8 @@ def main(argv=None) -> int:
             tokens, logp = np.asarray(out), None
         for j, i in enumerate(idx):
             gen_triples.append(rank_triples(
-                tokens[j], None if logp is None else logp[j], rank=args.rank
+                tokens[j], None if logp is None else logp[j],
+                rank=args.rank, pred_adjust=pred_adjust,
             ))
             gt_triples.append([tuple(map(int, t)) for t in ds.triples[i]])
 

@@ -280,7 +280,8 @@ def device_put_features(
 
 
 def rank_triples(
-    tokens: np.ndarray, logp: np.ndarray | None = None, rank: str = "freq"
+    tokens: np.ndarray, logp: np.ndarray | None = None, rank: str = "freq",
+    pred_adjust: np.ndarray | None = None,
 ) -> list[tuple[int, int, int]]:
     """Rank one image's K sampled triples → deduped [(s,p,o)], best first.
 
@@ -296,6 +297,14 @@ def rank_triples(
         logsumexp of its draws' log-probs (− log K, dropped as
         rank-invariant) ≈ log of the triple's sampled mass — frequency
         and magnitude both contribute.
+
+    ``pred_adjust`` (float[V], ``logp`` mode only): a per-PREDICATE score
+    penalty subtracted from each triple's aggregated log-mass — logit
+    adjustment for the long predicate tail (Menon et al. 2020, "Long-tail
+    learning via logit adjustment"): with ``pred_adjust = α·log p̂(pred)``
+    from training frequencies, head predicates pay their prior back and
+    tail predicates rise, trading a little recall@k for mR@k at eval time
+    only. ``evaluate --predicate-adjust α`` builds it from the train split.
     """
     tokens = np.asarray(tokens).reshape(-1, 3)
     if rank != "freq" and logp is None:
@@ -311,12 +320,18 @@ def rank_triples(
         if logp is not None:
             lp = float(logp[i])
             agg[t] = float(np.logaddexp(agg[t], lp)) if t in agg else lp
+    if pred_adjust is not None and rank != "logp":
+        raise ValueError("pred_adjust applies to rank='logp' only")
     if rank == "freq":
         key = lambda t: (-counts[t], first[t])  # noqa: E731
     elif rank == "freq_logp":
         key = lambda t: (-counts[t], -agg[t])  # noqa: E731
     elif rank == "logp":
-        key = lambda t: -agg[t]  # noqa: E731
+        if pred_adjust is not None:
+            adj = np.asarray(pred_adjust, np.float64)
+            key = lambda t: -(agg[t] - adj[t[1]])  # noqa: E731
+        else:
+            key = lambda t: -agg[t]  # noqa: E731
     else:
         raise ValueError(f"unknown rank mode {rank!r}")
     return sorted(counts, key=key)

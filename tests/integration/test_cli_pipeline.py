@@ -180,6 +180,21 @@ def test_train_ema_and_evaluate_zero_shot(tmp_path, capsys):
         )
         assert rc == 0
         assert "recall@10" in capsys.readouterr().out
+    # logit-adjusted tail ranking composes with rank=logp (and only logp)
+    rc = cli_evaluate.main(
+        ["--workdir", str(wd), "--k", "10", "--num-samples", "4",
+         "--num-images", "6", "--batch-size", "4", "--rank", "logp",
+         "--predicate-adjust", "0.5"]
+    )
+    assert rc == 0
+    assert "recall@10" in capsys.readouterr().out
+    rc = cli_evaluate.main(
+        ["--workdir", str(wd), "--k", "10", "--num-samples", "4",
+         "--num-images", "6", "--batch-size", "4", "--predicate-adjust",
+         "0.5"]
+    )
+    assert rc == 2
+
     # ranking by log-prob needs per-draw log-probs the fused kernel lacks
     rc = cli_evaluate.main(
         ["--workdir", str(wd), "--k", "10", "--num-samples", "4",

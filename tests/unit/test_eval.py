@@ -328,3 +328,23 @@ def test_assemble_scene_graphs_logp_ranking():
     # default stays the batched lexicographic-tie ordering, no logp field
     graphs, _ = assemble_scene_graphs(tokens, vocab, [0, 1, 2])
     assert all("logp" not in t for g in graphs for t in g["triples"])
+
+
+def test_rank_triples_predicate_logit_adjustment():
+    from sgg.eval import rank_triples
+
+    head = (1, 2, 1)  # predicate 2: common in training
+    tail = (1, 3, 1)  # predicate 3: rare
+    tokens = np.array([head, tail])
+    logp = np.array([-2.0, -2.5])  # head slightly ahead on raw model prob
+    assert rank_triples(tokens, logp, rank="logp") == [head, tail]
+    # α·log-prior penalty: predicate 2 prior 0.9 vs predicate 3 prior 0.01
+    adj = np.zeros(6)
+    adj[2] = 1.0 * np.log(0.9)
+    adj[3] = 1.0 * np.log(0.01)
+    got = rank_triples(tokens, logp, rank="logp", pred_adjust=adj)
+    assert got == [tail, head]  # tail promoted past the head predicate
+    import pytest
+
+    with pytest.raises(ValueError):
+        rank_triples(tokens, logp, rank="freq", pred_adjust=adj)
