@@ -17,20 +17,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sgg.eval import assemble_scene_graph, make_sampler
+from sgg.eval import assemble_scene_graph, make_sampler, rank_triples
 from sgg.train.checkpoint import CheckpointManager, load_workdir
 from sgg.train.state import create_train_state
 
 
 class SceneGraphGenerator:
-    def __init__(self, cfg, vocab, state, num_samples: int = 50, seed: int = 0):
+    def __init__(self, cfg, vocab, state, num_samples: int = 50, seed: int = 0,
+                 temperature: float | None = None, rank: str = "freq"):
         self.cfg = cfg
         self.vocab = vocab
         self.state = state
         self.num_samples = num_samples
+        self.rank = rank
         self._rng = jax.random.key(seed)
         self._sampler = make_sampler(
-            cfg, step_mask=vocab.step_mask(), num_samples=num_samples
+            cfg, step_mask=vocab.step_mask(), num_samples=num_samples,
+            tau=temperature, with_logp=rank != "freq",
         )
         self._encode = None
         if cfg.model.encoder != "precomputed":
@@ -52,25 +55,43 @@ class SceneGraphGenerator:
 
     @classmethod
     def from_workdir(
-        cls, workdir: str, num_samples: int = 50, seed: int = 0
+        cls, workdir: str, num_samples: int = 50, seed: int = 0,
+        temperature: float | None = None, rank: str = "freq",
     ) -> "SceneGraphGenerator":
+        """``temperature``: tokens ~ softmax(logits/T), default 1.0.
+        ``rank``: triple confidence order — 'freq' (sample count),
+        'freq_logp', or 'logp' (see :func:`sgg.eval.rank_triples`)."""
         cfg, vocab = load_workdir(workdir)
         cfg.model.vocab_size = len(vocab)
         state = create_train_state(cfg, jax.random.key(0))
         restored = CheckpointManager(workdir, cfg).restore(state)
         if restored is None:
             raise FileNotFoundError(f"no checkpoint in {workdir}")
-        return cls(cfg, vocab, restored, num_samples=num_samples, seed=seed)
+        return cls(cfg, vocab, restored, num_samples=num_samples, seed=seed,
+                   temperature=temperature, rank=rank)
 
     # ------------------------------------------------------------- generate
     def generate_from_features(self, feats) -> list[dict]:
-        """float[B, R, F] → per-image scene-graph dicts (triples by count)."""
+        """float[B, R, F] → per-image scene-graph dicts (ranked triples)."""
         feats = jnp.asarray(feats, self.cfg.model.dtype)
         self._rng, sub = jax.random.split(self._rng)
-        tokens = np.asarray(self._sampler(self.state.g_params, feats, sub))
-        return [
-            assemble_scene_graph(tokens[i], self.vocab) for i in range(len(tokens))
-        ]
+        out = self._sampler(self.state.g_params, feats, sub)
+        if self.rank == "freq":
+            tokens = np.asarray(out)
+            return [
+                assemble_scene_graph(tokens[i], self.vocab)
+                for i in range(len(tokens))
+            ]
+        tokens, logp = (np.asarray(x) for x in out)
+        graphs = []
+        for i in range(len(tokens)):
+            ordered = rank_triples(tokens[i], logp[i], rank=self.rank)
+            names = [self.vocab.decode_triple(t) for t in ordered]
+            graphs.append({"triples": [
+                {"subject": s, "predicate": p, "object": o}
+                for (s, p, o) in names
+            ]})
+        return graphs
 
     def generate_from_images(self, images_u8) -> list[dict]:
         """uint8[B, H, W, 3] → scene graphs (requires an encoder config)."""

@@ -37,6 +37,20 @@ def test_generate_from_features(workdir):
         assert g.vocab.id(s["subject"]) > 1  # real tokens, not pad/unk
 
 
+def test_generate_with_logp_rank_and_temperature(workdir):
+    from sgg.api import SceneGraphGenerator
+
+    g = SceneGraphGenerator.from_workdir(
+        workdir, num_samples=6, seed=1, rank="logp", temperature=1.3
+    )
+    feats = np.random.RandomState(0).randn(3, 9, 16).astype(np.float32)
+    graphs = g.generate_from_features(feats)
+    assert len(graphs) == 3
+    for gr in graphs:
+        assert 1 <= len(gr["triples"]) <= 6
+        assert {"subject", "predicate", "object"} <= set(gr["triples"][0])
+
+
 def test_images_api_requires_encoder_config(workdir):
     from sgg.api import SceneGraphGenerator
 
