@@ -52,6 +52,11 @@ def main(argv=None) -> int:
     p.add_argument("--ema", action="store_true",
                    help="serve the EMA generator weights (requires a run "
                         "trained with train.ema_decay > 0)")
+    p.add_argument("--rank", default="freq",
+                   choices=["freq", "freq_logp", "logp"],
+                   help="triple confidence order in responses: sample "
+                        "frequency, log-prob tiebreak, or pure model "
+                        "probability mass (sgg.eval.rank_triples)")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -72,6 +77,11 @@ def main(argv=None) -> int:
             print("[sgg.serve] --dp needs --workdir (artifacts are compiled "
                   "single-device programs)", file=sys.stderr)
             return 2
+        if args.rank != "freq":
+            print("[sgg.serve] --rank freq_logp/logp needs --workdir "
+                  "(exported programs emit tokens, not log-probs)",
+                  file=sys.stderr)
+            return 2
         engine = ArtifactEngine(args.artifact, seed=args.seed,
                                 batch_size=args.batch_size)
     else:
@@ -84,6 +94,7 @@ def main(argv=None) -> int:
             args.workdir, batch_size=args.batch_size,
             num_samples=args.num_samples, temperature=args.temperature,
             seed=args.seed, mesh=mesh, quant=args.quant, ema=args.ema,
+            rank=args.rank,
         )
     print(f"[sgg.serve] restored step {engine.step}; compiling batch "
           f"{engine.batch_size} × {engine.feature_shape} sampler…",

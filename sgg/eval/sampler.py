@@ -134,7 +134,7 @@ def make_indexed_sampler(
 
 def make_dp_sampler(
     cfg: Config, mesh, step_mask=None, num_samples: int = 50,
-    tau: float | None = None,
+    tau: float | None = None, with_logp: bool = False,
 ):
     """Data-parallel batch inference: (g_params, feats [B,R,F], rng) →
     tokens int32[B,K,3] with the image batch sharded over the mesh's 'data'
@@ -161,18 +161,26 @@ def make_dp_sampler(
             z = jax.random.normal(kz, (B, cfg.model.noise_dim), cfg.model.dtype)
             out = gen.apply(
                 {"params": g_params}, feats, z, kg,
-                tau=1.0, hard=True, step_mask=mask, sample_temp=temp,
+                tau=1.0, hard=True, step_mask=mask,
+                detach_sample=with_logp, sample_temp=temp,
             )
+            if with_logp:
+                return (out["tokens"].astype(jnp.int32),
+                        out["log_prob"].astype(jnp.float32))
             return out["tokens"].astype(jnp.int32)
 
         keys = jax.random.split(rng, num_samples)
+        if with_logp:
+            toks, lps = jax.vmap(one)(keys)  # [K, B, 3], [K, B]
+            return jnp.transpose(toks, (1, 0, 2)), jnp.transpose(lps)
         toks = jax.vmap(one)(keys)  # [K, B, 3]
         return jnp.transpose(toks, (1, 0, 2))  # [B, K, 3]
 
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh, leading_stacked=False)
     return jax.jit(
-        sample, in_shardings=(repl, batch, repl), out_shardings=batch
+        sample, in_shardings=(repl, batch, repl),
+        out_shardings=(batch, batch) if with_logp else batch,
     )
 
 

@@ -104,13 +104,15 @@ class InferenceEngine:
     def __init__(self, cfg, vocab, state, *, batch_size: int = 32,
                  num_samples: int = 50, temperature: float | None = None,
                  seed: int = 0, mesh=None, quant: str | None = None,
-                 ema: bool = False):
+                 ema: bool = False, rank: str = "freq"):
         if quant is not None:  # CLI override of cfg.model.quant
             cfg.model.quant = "" if quant == "none" else quant
         self.cfg = cfg
         self.vocab = vocab
         self.batch_size = int(batch_size)
         self.num_samples = int(num_samples)
+        self.rank = rank
+        self._with_logp = rank != "freq"
         self.step = int(state.step)
         g_params = state.g_params
         if ema:
@@ -140,11 +142,13 @@ class InferenceEngine:
             self._sampler = make_dp_sampler(
                 cfg, mesh, step_mask=vocab.step_mask(),
                 num_samples=self.num_samples, tau=temperature,
+                with_logp=self._with_logp,
             )
         else:
             self._sampler = make_sampler(
                 cfg, step_mask=vocab.step_mask(),
                 num_samples=self.num_samples, tau=temperature,
+                with_logp=self._with_logp,
             )
         self._rng = jax.random.key(seed)
         self._lock = threading.Lock()
@@ -192,15 +196,18 @@ class InferenceEngine:
             s = self.cfg.data.image_size
             imgs = jnp.zeros((self.batch_size, s, s, 3), jnp.uint8)
             jax.block_until_ready(self._encode(self._enc_params, imgs))
-        np.asarray(self._sample_tokens(feats))
+        self._sample_tokens(feats)
         return time.perf_counter() - t0
 
     # ------------------------------------------------------------- internals
-    def _sample_tokens(self, feats: np.ndarray) -> np.ndarray:
-        """float[n,R,F] → int32[n,K,3]; pads/chunks to the compiled batch."""
+    def _sample_tokens(
+        self, feats: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray | None]:
+        """float[n,R,F] → (int32[n,K,3], float32[n,K] logp | None);
+        pads/chunks to the compiled batch."""
         n = feats.shape[0]
         B = self.batch_size
-        out = []
+        out, out_lp = [], []
         for lo in range(0, n, B):
             chunk = feats[lo:lo + B]
             pad = B - chunk.shape[0]
@@ -214,10 +221,18 @@ class InferenceEngine:
                     self._g_params, jnp.asarray(chunk, self.cfg.model.dtype),
                     sub,
                 )
-            tokens = np.asarray(fut)  # sync point outside the lock is fine:
-            # the array is already a concrete device result future.
+            # sync point outside the lock is fine: the results are already
+            # concrete device futures.
+            if self._with_logp:
+                tokens, lp = (np.asarray(x) for x in fut)
+                out_lp.append(lp[: B - pad])
+            else:
+                tokens = np.asarray(fut)
             out.append(tokens[: B - pad])
-        return np.concatenate(out) if len(out) > 1 else out[0]
+        tokens = np.concatenate(out) if len(out) > 1 else out[0]
+        if not self._with_logp:
+            return tokens, None
+        return tokens, np.concatenate(out_lp) if len(out_lp) > 1 else out_lp[0]
 
     def encode_images(self, images_u8: np.ndarray) -> np.ndarray:
         if self._encode is None:
@@ -240,16 +255,17 @@ class InferenceEngine:
 
     # ------------------------------------------------------------- public
     def generate(self, feats: np.ndarray) -> list[dict]:
-        """float[n,R,F] → n scene-graph dicts (triples by sample count)."""
+        """float[n,R,F] → n scene-graph dicts (triples in ``rank`` order)."""
         feats = np.asarray(feats, np.float32)
         if feats.ndim != 3 or feats.shape[1:] != self.feature_shape:
             raise ValueError(
                 f"expected features [n, {self.feature_shape[0]}, "
                 f"{self.feature_shape[1]}], got {feats.shape}"
             )
-        tokens = self._sample_tokens(feats)
+        tokens, logp = self._sample_tokens(feats)
         graphs, _ = assemble_scene_graphs(
-            tokens, self.vocab, np.arange(len(tokens))
+            tokens, self.vocab, np.arange(len(tokens)),
+            logp=logp, rank=self.rank,
         )
         for g in graphs:
             g.pop("image_id", None)

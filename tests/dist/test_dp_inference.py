@@ -47,6 +47,20 @@ def test_dp_sampler_matches_single_device(cfg, setup):
     np.testing.assert_array_equal(t_dp, t_single)
 
 
+def test_dp_sampler_with_logp_matches_single_device(cfg, setup):
+    """The DP serving path's with_logp mode: tokens AND per-draw joint
+    log-probs match the single-device with_logp sampler bit for bit."""
+    g_params, feats, rng = setup
+    mesh = make_mesh(MeshSpec(data=-1, model=1))
+    single = make_sampler(cfg, num_samples=K, with_logp=True)
+    dp = make_dp_sampler(cfg, mesh, num_samples=K, with_logp=True)
+    t_s, lp_s = (np.asarray(x) for x in single(g_params, feats, rng))
+    t_d, lp_d = (np.asarray(x) for x in dp(g_params, feats, rng))
+    assert t_d.shape == (B, K, 3) and lp_d.shape == (B, K)
+    np.testing.assert_array_equal(t_d, t_s)
+    np.testing.assert_array_equal(lp_d, lp_s)
+
+
 def test_dp_sampler_output_sharded_over_data(cfg, setup):
     g_params, feats, rng = setup
     mesh = make_mesh(MeshSpec(data=4, model=1))

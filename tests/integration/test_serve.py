@@ -59,6 +59,23 @@ def test_engine_rejects_wrong_shape(engine):
         engine.generate(np.zeros((2, 9, 17), np.float32))
 
 
+def test_engine_logp_ranked_responses(workdir):
+    """rank='logp' engines emit triples ordered by aggregated model
+    log-prob (the 'logp' field, descending), padding/chunking intact."""
+    from sgg.serve import InferenceEngine
+
+    eng = InferenceEngine.from_workdir(
+        workdir, batch_size=4, num_samples=5, rank="logp", temperature=1.2
+    )
+    assert eng.warmup() > 0
+    graphs = eng.generate(_feats(6))  # pads batch 2, chunks at 4
+    assert len(graphs) == 6
+    for g in graphs:
+        lps = [t["logp"] for t in g["triples"]]
+        assert lps == sorted(lps, reverse=True)
+        assert sum(t["count"] for t in g["triples"]) == 5
+
+
 def test_batcher_coalesces_concurrent_requests(engine):
     from sgg.serve import DynamicBatcher, ServeStats
 
