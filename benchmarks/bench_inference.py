@@ -79,10 +79,13 @@ def bench_encoder_quant(name: str = "vit_b16", batch: int = 16,
     params = jax.tree.map(jnp.asarray, enc_f.init(jax.random.key(0), x))
 
     def timed(enc):
+        # params MUST be a jit argument: closed-over they become program
+        # constants, and this machine's relay remote-compile rejects the
+        # ~172 MB ViT-B/16 constant blob with HTTP 413 (observed session 12).
         @partial(jax.jit, static_argnames="n")
-        def run(c, n):
+        def run(p, c, n):
             def body(carry, _):
-                y = enc.apply(params, carry)
+                y = enc.apply(p, carry)
                 d = jnp.mean(y.astype(jnp.float32)) * 1e-6
                 return (carry.astype(jnp.float32) + d).astype(dtype), ()
 
@@ -90,12 +93,12 @@ def bench_encoder_quant(name: str = "vit_b16", batch: int = 16,
             return jnp.sum(out.astype(jnp.float32))
 
         n1, n2 = 2, 2 + iters
-        float(run(x, n1))
-        float(run(x, n2))
+        float(run(params, x, n1))
+        float(run(params, x, n2))
 
         def t(n):
             t0 = time.perf_counter()
-            float(run(x, n))
+            float(run(params, x, n))
             return time.perf_counter() - t0
 
         return max((t(n2) - t(n1)) / (n2 - n1), 1e-12)

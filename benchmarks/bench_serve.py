@@ -45,6 +45,17 @@ def _post(url: str, payload: dict) -> dict:
         return json.loads(r.read())
 
 
+def _post_bin(url: str, arr: np.ndarray) -> dict:
+    from sgg.serve import encode_binary_request
+
+    req = urllib.request.Request(
+        url, data=encode_binary_request(arr),
+        headers={"Content-Type": "application/octet-stream"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch-size", type=int, default=32)
@@ -127,6 +138,29 @@ def main() -> None:
     emit("serve_bulk_throughput",
          args.bulk_requests * args.batch_size * 2 / dt, "img/s",
          imgs_per_request=args.batch_size * 2)
+
+    # 5) binary protocol (application/octet-stream): same SLOs without the
+    # JSON text tax (one image ≈ 2.1 MB of JSON vs 392 KB f32 / 196 KB f16
+    # raw — BASELINE.md "Serving-tier SLOs" for why this dominates here).
+    one_f16 = np.asarray(one, np.float16)  # [1,R,F]
+    lats = []
+    for _ in range(args.seq_requests):
+        t0 = time.perf_counter()
+        _post_bin(url, one_f16)
+        lats.append((time.perf_counter() - t0) * 1e3)
+    lats.sort()
+    emit("serve_latency_p50_binary", lats[len(lats) // 2], "ms",
+         p95=round(lats[int(0.95 * len(lats)) - 1], 2), wire="f16")
+
+    bulk_f16 = np.asarray(bulk, np.float16)
+    _post_bin(url, bulk_f16)  # steady-state
+    t0 = time.perf_counter()
+    for _ in range(args.bulk_requests):
+        _post_bin(url, bulk_f16)
+    dt = time.perf_counter() - t0
+    emit("serve_bulk_throughput_binary",
+         args.bulk_requests * args.batch_size * 2 / dt, "img/s",
+         imgs_per_request=args.batch_size * 2, wire="f16")
 
     server.shutdown()
     server.server_close()

@@ -14,6 +14,26 @@ log() { echo "[balanced $(date +%H:%M:%S)] $*"; }
 
 [ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
 
+# --- Re-queued short benches (session 13) ---------------------------------
+# W2 re-run: bench_inference --quant crashed session 12 (HTTP 413 — ViT
+# params were jit CONSTANTS; fixed to arguments). Runs here, before the
+# multi-hour train, so the numbers land even if the host is wiped again.
+if [ ! -s "$D/bench_quant2_axon.txt" ]; then
+  log "bench: int8 PTQ encoder speedup (fixed params-as-arguments)"
+  JAX_PLATFORMS=axon timeout 2400 python benchmarks/bench_inference.py --quant \
+    > "$D/bench_quant2_axon.txt" 2>&1
+  log "bench_quant2 rc=$? (file: $D/bench_quant2_axon.txt)"
+  sleep 90
+fi
+# Binary serve protocol (new in session 13): JSON vs octet-stream SLOs.
+if [ ! -s "$D/bench_serve_bin_axon.txt" ]; then
+  log "bench: serve SLOs incl. binary protocol"
+  JAX_PLATFORMS=axon timeout 1800 python benchmarks/bench_serve.py \
+    > "$D/bench_serve_bin_axon.txt" 2>&1
+  log "bench_serve rc=$? (file: $D/bench_serve_bin_axon.txt)"
+  sleep 90
+fi
+
 log "train: alpha=$ALPHA, $STEPS steps (supervised relaunch loop)"
 while :; do
   python -m sgg.cli.train --config vg1k --workdir "$WD" \

