@@ -1,11 +1,17 @@
 #!/bin/bash
-# Session-11b TPU queue — chained behind session11.sh (pass its PID as $1).
-# Two cheap eval-only sweeps on the balanced checkpoint:
+# Session-11b TPU queue — eval-only sweeps on the balanced checkpoint.
+# Since session 13 the evaluate CLI sweeps temperature×rank×alpha grids IN
+# ONE PROCESS (temperature is a traced operand; rank/alpha are host-side
+# re-rankings), so what session 12 queued as 7+4 separate invocations —
+# each paying the relay's 20-40 s compile + feature pass — is now three:
+#   0. rank × temperature grid (replaces session12.sh phase 3, which is
+#      skipped via the rank_ab.done marker).
 #   A. Predicate logit-adjustment sweep (--predicate-adjust α on rank=logp):
 #      the eval-time mR@k lever — measures the recall@k ↔ mR@k trade.
-#   B. num-samples saturation (K = 25/50/100/200 at rank freq): grounds the
+#   B. num-samples saturation (K = 25/50/200 at rank freq): grounds the
 #      "k-sample ancestral sampling covers the 3-token space, no beam
-#      needed" claim (sampler.py docstring) with a measured curve.
+#      needed" claim (sampler.py docstring) with a measured curve. K
+#      changes the compiled program, so these stay separate invocations.
 cd /root/repo || exit 1
 export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 D=/root/data
@@ -22,22 +28,35 @@ fi
 
 [ -d "$BWD/checkpoints" ] || { log "no balanced checkpoint"; exit 1; }
 
+if [ ! -f "$D/ranktemp_ab.done" ]; then
+  log "stage 0: rank x temperature grid (9 combos, ONE process, EMA)"
+  # Non-fatal: if the sweep path trips at scale, the rest of the queue
+  # still runs and a later session re-measures.
+  if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
+      --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
+      --rank freq,freq_logp,logp --temperature 0.7,1.0,1.3 --ema \
+      --platform axon; then
+    touch "$D/ranktemp_ab.done"
+  else
+    log "stage 0 FAILED (continuing; re-run in a later session)"
+  fi
+  sleep 90
+else
+  log "stage 0: skipped (done)"
+fi
+
 if [ ! -f "$D/adjust_ab.done" ]; then
   log "stage A: predicate logit-adjustment sweep (rank=logp, EMA, mR@100)"
-  for a in 0.25 0.5 1.0; do
-    log "stage A: alpha=$a"
-    python -m sgg.cli.evaluate --workdir "$BWD" --split test \
+  # One process: alpha=0 is the unadjusted reference in the same run.
+  if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
       --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
-      --rank logp --predicate-adjust "$a" --per-predicate --ema \
-      --platform axon || { log "alpha=$a failed"; exit 1; }
-    sleep 60
-  done
-  # the α=0 reference: rank=logp with --per-predicate for the same images
-  python -m sgg.cli.evaluate --workdir "$BWD" --split test \
-    --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
-    --rank logp --per-predicate --ema --platform axon || exit 1
-  touch "$D/adjust_ab.done"
-  sleep 60
+      --rank logp --predicate-adjust 0,0.25,0.5,1.0 --per-predicate --ema \
+      --platform axon; then
+    touch "$D/adjust_ab.done"
+  else
+    log "stage A FAILED (continuing; re-run in a later session)"
+  fi
+  sleep 90
 else
   log "stage A: skipped (done)"
 fi

@@ -71,11 +71,16 @@ class SceneGraphGenerator:
                    temperature=temperature, rank=rank)
 
     # ------------------------------------------------------------- generate
-    def generate_from_features(self, feats) -> list[dict]:
-        """float[B, R, F] → per-image scene-graph dicts (ranked triples)."""
+    def generate_from_features(self, feats,
+                               temperature=None) -> list[dict]:
+        """float[B, R, F] → per-image scene-graph dicts (ranked triples).
+
+        ``temperature`` overrides the constructor default for this call
+        only — scalar or per-row float[B]; temperature is a traced operand
+        of the one compiled sampler, so overrides never recompile."""
         feats = jnp.asarray(feats, self.cfg.model.dtype)
         self._rng, sub = jax.random.split(self._rng)
-        out = self._sampler(self.state.g_params, feats, sub)
+        out = self._sampler(self.state.g_params, feats, sub, temperature)
         if self.rank == "freq":
             tokens = np.asarray(out)
             return [
@@ -93,18 +98,19 @@ class SceneGraphGenerator:
             ]})
         return graphs
 
-    def generate_from_images(self, images_u8) -> list[dict]:
+    def generate_from_images(self, images_u8, temperature=None) -> list[dict]:
         """uint8[B, H, W, 3] → scene graphs (requires an encoder config)."""
         if self._encode is None:
             raise ValueError(
                 "this run used precomputed features; call generate_from_features"
             )
         feats = self._encode(self.state.enc_params, jnp.asarray(images_u8))
-        return self.generate_from_features(feats)
+        return self.generate_from_features(feats, temperature)
 
-    def generate_from_paths(self, paths: list[str]) -> list[dict]:
+    def generate_from_paths(self, paths: list[str],
+                            temperature=None) -> list[dict]:
         from sgg.data.extract import load_batch
 
         return self.generate_from_images(
-            load_batch(list(paths), self.cfg.data.image_size)
+            load_batch(list(paths), self.cfg.data.image_size), temperature
         )

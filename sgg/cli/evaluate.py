@@ -39,23 +39,31 @@ def main(argv=None) -> int:
                    help="also report predicate-balanced mean recall (mR@k, "
                         "at the largest k) and the worst/best predicates")
     p.add_argument("--num-samples", type=int, default=100, help="noise draws per image")
-    p.add_argument("--temperature", type=float, default=None,
-                   help="sampling temperature: tokens ~ softmax(logits / T) "
-                        "(default 1.0 = the model's own distribution)")
+    p.add_argument("--temperature", default=None,
+                   help="sampling temperature(s): tokens ~ softmax(logits/T) "
+                        "(default 1.0 = the model's own distribution). "
+                        "Comma-separated values sweep IN ONE PROCESS: "
+                        "temperature is a traced operand of the sampler, so "
+                        "every value reuses the same compiled program and "
+                        "feature pass (each separate invocation costs "
+                        "20-40 s compile + the feature upload on a relay)")
     p.add_argument("--rank", default="freq",
-                   choices=["freq", "freq_logp", "logp"],
-                   help="triple confidence order the recall@k cut uses: "
-                        "sample frequency (freq — ties first-sampled, the "
-                        "historical ordering), frequency with model "
+                   help="triple confidence order(s) the recall@k cut uses — "
+                        "comma-separated to sweep (one sampling pass covers "
+                        "all): sample frequency (freq — ties first-sampled, "
+                        "the historical ordering), frequency with model "
                         "log-prob tiebreak (freq_logp), or pure model "
                         "probability mass (logp) — see sgg.eval.rank_triples")
-    p.add_argument("--predicate-adjust", type=float, default=0.0,
+    p.add_argument("--predicate-adjust", default="0",
                    metavar="ALPHA",
                    help="logit adjustment for the long predicate tail "
                         "(rank=logp only): subtract ALPHA·log p̂(predicate) "
                         "— the train-split prior — from each triple's "
                         "score, trading a little recall@k for mR@k "
-                        "(Menon et al. 2020)")
+                        "(Menon et al. 2020). Comma-separated ALPHAs sweep "
+                        "host-side: the adjustment re-ranks already-sampled "
+                        "tokens, so extra values cost no device work "
+                        "(ALPHA=0 = unadjusted logp)")
     p.add_argument("--num-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--split", default="test", choices=["train", "test"])
@@ -101,7 +109,16 @@ def main(argv=None) -> int:
             return 1
         g_params = state.g_ema
 
-    with_logp = args.rank != "freq"
+    temps = (
+        [None] if args.temperature in (None, "") else
+        [float(x) for x in str(args.temperature).split(",") if x.strip()]
+    )
+    ranks = [r.strip() for r in str(args.rank).split(",") if r.strip()]
+    for r in ranks:
+        if r not in ("freq", "freq_logp", "logp"):
+            print(f"[sgg.evaluate] unknown --rank {r!r}", file=sys.stderr)
+            return 2
+    with_logp = any(r != "freq" for r in ranks)
     if args.decode == "fused":
         if with_logp:
             print(
@@ -111,16 +128,23 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 2
+        if len(temps) > 1:
+            print(
+                "[sgg.evaluate] the fused kernel samples at temperature "
+                "1.0 only; use --decode xla for a temperature sweep",
+                file=sys.stderr,
+            )
+            return 2
         from sgg.eval.sampler import make_fused_sampler
 
         sampler = make_fused_sampler(
             cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
-            tau=args.temperature,
+            tau=temps[0],
         )
     else:
         sampler = make_sampler(
             cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
-            tau=args.temperature, with_logp=with_logp,
+            tau=temps[0], with_logp=with_logp,
         )
     # End-to-end configs: encode features per batch through the
     # checkpoint's backbone (shared path with sgg.cli.generate).
@@ -131,9 +155,11 @@ def main(argv=None) -> int:
     rng = jax.random.key(args.seed)
     from sgg.eval import rank_triples
 
-    pred_adjust = None
-    if args.predicate_adjust:
-        if args.rank != "logp":
+    alphas = [float(x) for x in
+              str(args.predicate_adjust).split(",") if x.strip()] or [0.0]
+    log_prior = None
+    if any(a != 0 for a in alphas):
+        if "logp" not in ranks:
             print(
                 "[sgg.evaluate] --predicate-adjust applies to --rank logp "
                 "only",
@@ -146,9 +172,24 @@ def main(argv=None) -> int:
             for t in trips:
                 counts[int(t[1])] += 1.0
         prior = (counts + 1.0) / (counts.sum() + len(vocab))  # smoothed
-        pred_adjust = args.predicate_adjust * np.log(prior)
+        log_prior = np.log(prior)
 
-    gen_triples, gt_triples = [], []
+    # Rank-side combos: the α sweep applies to rank=logp only and is pure
+    # host-side re-ranking of the same tokens — extra αs cost no device
+    # work. (α=0 ≡ unadjusted logp.)
+    rcombos = [(r, a) for r in ranks
+               for a in (alphas if r == "logp" else [0.0])]
+    adj_map = {
+        (r, a): (a * log_prior if (r == "logp" and a != 0) else None)
+        for r, a in rcombos
+    }
+
+    # One sampling pass per temperature per batch (all on ONE compiled
+    # program — temp is traced); every rank ordering reuses its
+    # temperature's tokens host-side.
+    gen = {(ti, r, a): []
+           for ti in range(len(temps)) for (r, a) in rcombos}
+    gt_triples = []
     B = args.batch_size
     for lo in range(0, n_images, B):
         idx = np.arange(lo, min(lo + B, n_images))
@@ -157,46 +198,68 @@ def main(argv=None) -> int:
             feats = np.concatenate(
                 [feats, np.repeat(feats[-1:], B - feats.shape[0], axis=0)]
             )
-        rng, sub = jax.random.split(rng)
-        out = sampler(g_params, feats, sub)
-        if with_logp:
-            tokens, logp = (np.asarray(x) for x in out)
-        else:
-            tokens, logp = np.asarray(out), None
-        for j, i in enumerate(idx):
-            gen_triples.append(rank_triples(
-                tokens[j], None if logp is None else logp[j],
-                rank=args.rank, pred_adjust=pred_adjust,
-            ))
+        for ti, T in enumerate(temps):
+            rng, sub = jax.random.split(rng)
+            if args.decode == "fused":
+                out = sampler(g_params, feats, sub)
+            else:
+                out = sampler(g_params, feats, sub, T)
+            if with_logp:
+                tokens, logp = (np.asarray(x) for x in out)
+            else:
+                tokens, logp = np.asarray(out), None
+            for j, i in enumerate(idx):
+                for r, a in rcombos:
+                    gen[(ti, r, a)].append(rank_triples(
+                        tokens[j], None if logp is None else logp[j],
+                        rank=r, pred_adjust=adj_map[(r, a)],
+                    ))
+        for i in idx:
             gt_triples.append([tuple(map(int, t)) for t in ds.triples[i]])
 
     ks = sorted({int(k) for k in str(args.k).split(",") if k.strip()})
-    recalls = corpus_recall_multi(gen_triples, gt_triples, ks)
-    rep = " ".join(f"recall@{k} = {recalls[k]:.4f}" for k in ks)
-    print(
-        f"[sgg.evaluate] split={args.split} images={n_images} "
-        f"samples/image={args.num_samples} {rep}",
-        flush=True,
-    )
+    combos = [(ti, r, a) for ti in range(len(temps)) for (r, a) in rcombos]
+    multi = len(combos) > 1
+
+    def combo_tag(ti, r, a):
+        if not multi:
+            return ""
+        tag = f" T={1.0 if temps[ti] is None else temps[ti]:g} rank={r}"
+        return tag + (f" adj={a:g}" if a else "")
+
+    seen = None
     if args.zero_shot:
         train_ds, _ = load_dataset(cfg, split="train")
         seen = {
             tuple(int(x) for x in t)
             for trips in train_ds.triples for t in trips
         }
-        zs, n_zs = corpus_zero_shot_recall(gen_triples, gt_triples, seen, ks)
-        rep = " ".join(f"zsR@{k} = {zs[k]:.4f}" for k in ks)
+    for ti, r, a in combos:
+        gen_triples = gen[(ti, r, a)]
+        tag = combo_tag(ti, r, a)
+        recalls = corpus_recall_multi(gen_triples, gt_triples, ks)
+        rep = " ".join(f"recall@{k} = {recalls[k]:.4f}" for k in ks)
         print(
-            f"[sgg.evaluate] zero-shot ({n_zs}/{n_images} images with "
-            f"GT triples unseen in {len(seen)} train triples): {rep}",
+            f"[sgg.evaluate]{tag} split={args.split} images={n_images} "
+            f"samples/image={args.num_samples} {rep}",
             flush=True,
         )
+        if seen is not None:
+            zs, n_zs = corpus_zero_shot_recall(gen_triples, gt_triples,
+                                               seen, ks)
+            rep = " ".join(f"zsR@{k} = {zs[k]:.4f}" for k in ks)
+            print(
+                f"[sgg.evaluate]{tag} zero-shot ({n_zs}/{n_images} images "
+                f"with GT triples unseen in {len(seen)} train triples): "
+                f"{rep}",
+                flush=True,
+            )
     if args.predcls:
         from sgg.eval import make_predcls_scorer, predicate_recall
 
         scorer = make_predcls_scorer(
             cfg, step_mask=vocab.step_mask(),
-            num_samples=args.predcls_samples, tau=args.temperature,
+            num_samples=args.predcls_samples, tau=temps[0],
         )
         img_rows, s_rows, p_rows, o_rows = [], [], [], []
         for i in range(n_images):
@@ -234,14 +297,19 @@ def main(argv=None) -> int:
         )
     if args.per_predicate:
         kmax = max(ks)
-        mr, table = corpus_mean_recall(gen_triples, gt_triples, k=kmax)
-        print(f"[sgg.evaluate] mR@{kmax} = {mr:.4f} "
-              f"over {len(table)} predicates with support", flush=True)
-        by_r = sorted(table.items(), key=lambda kv: kv[1][0])
-        for tag, rows in (("worst", by_r[:5]), ("best", by_r[-5:])):
-            for p, (r, n) in rows:
-                print(f"[sgg.evaluate]   {tag}: {vocab.token(p):<24} "
-                      f"recall@{kmax} = {r:.4f}  (n={n})", flush=True)
+        for ti, r, a in combos:
+            ctag = combo_tag(ti, r, a)
+            mr, table = corpus_mean_recall(gen[(ti, r, a)], gt_triples,
+                                           k=kmax)
+            print(f"[sgg.evaluate]{ctag} mR@{kmax} = {mr:.4f} "
+                  f"over {len(table)} predicates with support", flush=True)
+            if multi:
+                continue  # worst/best tables only for single-combo runs
+            by_r = sorted(table.items(), key=lambda kv: kv[1][0])
+            for tag, rows in (("worst", by_r[:5]), ("best", by_r[-5:])):
+                for p, (rr, n) in rows:
+                    print(f"[sgg.evaluate]   {tag}: {vocab.token(p):<24} "
+                          f"recall@{kmax} = {rr:.4f}  (n={n})", flush=True)
     return 0
 
 

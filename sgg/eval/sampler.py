@@ -25,7 +25,11 @@ Sampling semantics and deviations from the reference, documented
     INERT for ``hard=True`` tokens — argmax is τ-invariant — so every
     earlier eval effectively sampled at temperature 1.0; the default is
     now explicitly that, and the knob is real via ``sample_temp`` on the
-    decoders.)
+    decoders.) Temperature is a TRACED operand of the compiled samplers
+    (optional trailing ``temp`` argument, scalar or per-row float32[B]):
+    one program serves every temperature — sweeps skip the 20–40 s
+    relay recompile per value, and the serve tier batches
+    mixed-temperature requests into one dispatch.
   - no beam search, deliberately: the decode is exactly 3 tokens, so
     k-sample ancestral sampling with dedupe already covers the space a
     3-step beam would, without the sequential dependency.
@@ -44,16 +48,62 @@ from sgg.data.vocab import Vocab
 from sgg.train.state import make_models
 
 
+def _sample_body(cfg, gen, mask, num_samples: int, with_logp: bool):
+    """Shared sampling body: (g_params, feats [B,R,F], rng, temp) → tokens.
+
+    ``temp`` is a TRACED operand — scalar, or float32[B] for PER-ROW
+    temperatures (reshaped to [B,1] so it broadcasts against the [B,V]
+    step logits). Tracing it means one compiled program serves every
+    temperature: a `--temperature` sweep reuses one compile + one feature
+    upload (20–40 s + minutes through this relay per XLA program
+    otherwise), and the serving tier can coalesce MIXED-temperature
+    requests into a single dispatch. ``log_prob`` is always the untempered
+    model joint, so logp ranking stays valid across temperatures.
+    """
+
+    def body(g_params, feats, rng, temp):
+        B = feats.shape[0]
+        st = jnp.asarray(temp, jnp.float32)
+        if st.ndim == 1:
+            st = st[:, None]  # [B,1]: per-row, broadcasts over vocab
+
+        def one(key):
+            kz, kg = jax.random.split(key)
+            z = jax.random.normal(kz, (B, cfg.model.noise_dim), cfg.model.dtype)
+            out = gen.apply(
+                {"params": g_params}, feats, z, kg,
+                tau=1.0, hard=True, step_mask=mask,
+                detach_sample=with_logp, sample_temp=st,
+            )
+            if with_logp:
+                return (out["tokens"].astype(jnp.int32),
+                        out["log_prob"].astype(jnp.float32))
+            return out["tokens"].astype(jnp.int32)
+
+        keys = jax.random.split(rng, num_samples)
+        if with_logp:
+            toks, lps = jax.vmap(one)(keys)  # [K, B, 3], [K, B]
+            return jnp.transpose(toks, (1, 0, 2)), jnp.transpose(lps)
+        toks = jax.vmap(one)(keys)  # [K, B, 3]
+        return jnp.transpose(toks, (1, 0, 2))  # [B, K, 3]
+
+    return body
+
+
 def make_sampler(
     cfg: Config, step_mask=None, num_samples: int = 50,
     tau: float | None = None, with_logp: bool = False,
 ):
-    """Build jitted (g_params, feats [B,R,F], rng) → tokens int32[B, K, 3].
+    """Build (g_params, feats [B,R,F], rng[, temp]) → tokens int32[B, K, 3].
 
-    ``tau`` is the sampling temperature (None ≡ 1.0 — see module docstring).
-    ``with_logp=True`` switches to the decoders' exact gumbel-max sampling
-    mode and returns ``(tokens int32[B,K,3], logp float32[B,K])``, where
-    ``logp`` is each draw's untempered joint model log-probability
+    ``tau`` is the DEFAULT sampling temperature (None ≡ 1.0 — see module
+    docstring); the optional trailing ``temp`` argument overrides it per
+    call — scalar or float32[B] per-row — WITHOUT recompiling, because
+    temperature is a traced operand of the one compiled program
+    (:func:`_sample_body`). ``with_logp=True`` switches to the decoders'
+    exact gumbel-max sampling mode and returns
+    ``(tokens int32[B,K,3], logp float32[B,K])``, where ``logp`` is each
+    draw's untempered joint model log-probability
     Σₜ log p(tokenₜ | prefix, z) — the ranking signal for
     :func:`rank_triples`. Tokens are drawn from the same distribution as
     the default path (and are bit-identical for the same rng on the
@@ -61,84 +111,57 @@ def make_sampler(
     """
     gen, _ = make_models(cfg)
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
-    temp = 1.0 if tau is None else tau
+    jitted = jax.jit(_sample_body(cfg, gen, mask, num_samples, with_logp))
+    default = 1.0 if tau is None else float(tau)
 
-    def sample(g_params, feats, rng):
-        B = feats.shape[0]
+    def sample(g_params, feats, rng, temp=None):
+        t = default if temp is None else temp
+        return jitted(g_params, feats, rng, jnp.asarray(t, jnp.float32))
 
-        def one(key):
-            kz, kg = jax.random.split(key)
-            z = jax.random.normal(kz, (B, cfg.model.noise_dim), cfg.model.dtype)
-            out = gen.apply(
-                {"params": g_params}, feats, z, kg,
-                tau=1.0, hard=True, step_mask=mask,
-                detach_sample=with_logp, sample_temp=temp,
-            )
-            if with_logp:
-                return (out["tokens"].astype(jnp.int32),
-                        out["log_prob"].astype(jnp.float32))
-            return out["tokens"].astype(jnp.int32)
-
-        keys = jax.random.split(rng, num_samples)
-        if with_logp:
-            toks, lps = jax.vmap(one)(keys)  # [K, B, 3], [K, B]
-            return jnp.transpose(toks, (1, 0, 2)), jnp.transpose(lps)
-        toks = jax.vmap(one)(keys)  # [K, B, 3]
-        return jnp.transpose(toks, (1, 0, 2))  # [B, K, 3]
-
-    return jax.jit(sample)
+    return sample
 
 
 def make_indexed_sampler(
     cfg: Config, step_mask=None, num_samples: int = 50,
     tau: float | None = None, with_logp: bool = False,
 ):
-    """Device-resident variant: (g_params, feats_dev [N,R,F], idx i32[B], rng)
-    → tokens int32[B, K, 3], with the feature gather INSIDE the jit.
+    """Device-resident variant: (g_params, feats_dev [N,R,F], idx i32[B],
+    rng[, temp]) → tokens int32[B, K, 3], with the feature gather INSIDE
+    the jit.
 
     Through a relay-attached TPU (~40 MB/s host→device) re-uploading a
     [B,196,512] feature slab per batch dominates generate wall-clock; with
     the whole feature set resident in HBM, per-batch traffic is B indices up
-    and B·K·3 int32 down. ``tau``/``with_logp`` as in :func:`make_sampler`.
+    and B·K·3 int32 down. ``tau``/``with_logp``/``temp`` as in
+    :func:`make_sampler`.
     """
     gen, _ = make_models(cfg)
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
-    temp = 1.0 if tau is None else tau
+    body = _sample_body(cfg, gen, mask, num_samples, with_logp)
 
-    def sample(g_params, feats_dev, idx, rng):
+    def indexed(g_params, feats_dev, idx, rng, temp):
         feats = jnp.take(feats_dev, idx, axis=0)  # [B, R, F] gather in HBM
-        B = feats.shape[0]
+        return body(g_params, feats, rng, temp)
 
-        def one(key):
-            kz, kg = jax.random.split(key)
-            z = jax.random.normal(kz, (B, cfg.model.noise_dim), cfg.model.dtype)
-            out = gen.apply(
-                {"params": g_params}, feats, z, kg,
-                tau=1.0, hard=True, step_mask=mask,
-                detach_sample=with_logp, sample_temp=temp,
-            )
-            if with_logp:
-                return (out["tokens"].astype(jnp.int32),
-                        out["log_prob"].astype(jnp.float32))
-            return out["tokens"].astype(jnp.int32)
+    jitted = jax.jit(indexed)
+    default = 1.0 if tau is None else float(tau)
 
-        keys = jax.random.split(rng, num_samples)
-        if with_logp:
-            toks, lps = jax.vmap(one)(keys)  # [K, B, 3], [K, B]
-            return jnp.transpose(toks, (1, 0, 2)), jnp.transpose(lps)
-        toks = jax.vmap(one)(keys)  # [K, B, 3]
-        return jnp.transpose(toks, (1, 0, 2))  # [B, K, 3]
+    def sample(g_params, feats_dev, idx, rng, temp=None):
+        t = default if temp is None else temp
+        return jitted(g_params, feats_dev, idx, rng,
+                      jnp.asarray(t, jnp.float32))
 
-    return jax.jit(sample)
+    return sample
 
 
 def make_dp_sampler(
     cfg: Config, mesh, step_mask=None, num_samples: int = 50,
     tau: float | None = None, with_logp: bool = False,
 ):
-    """Data-parallel batch inference: (g_params, feats [B,R,F], rng) →
-    tokens int32[B,K,3] with the image batch sharded over the mesh's 'data'
-    axis (GSPMD; params replicated).
+    """Data-parallel batch inference: (g_params, feats [B,R,F], rng[, temp])
+    → tokens int32[B,K,3] with the image batch sharded over the mesh's
+    'data' axis (GSPMD; params and the temperature operand replicated — a
+    [B] per-row temp is B floats, not worth sharding).
 
     Every sampled row is independent — no cross-device collectives — so a
     batch spread over N chips decodes in 1/N the wall time and tokens are
@@ -151,37 +174,21 @@ def make_dp_sampler(
 
     gen, _ = make_models(cfg)
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
-    temp = 1.0 if tau is None else tau
-
-    def sample(g_params, feats, rng):
-        B = feats.shape[0]
-
-        def one(key):
-            kz, kg = jax.random.split(key)
-            z = jax.random.normal(kz, (B, cfg.model.noise_dim), cfg.model.dtype)
-            out = gen.apply(
-                {"params": g_params}, feats, z, kg,
-                tau=1.0, hard=True, step_mask=mask,
-                detach_sample=with_logp, sample_temp=temp,
-            )
-            if with_logp:
-                return (out["tokens"].astype(jnp.int32),
-                        out["log_prob"].astype(jnp.float32))
-            return out["tokens"].astype(jnp.int32)
-
-        keys = jax.random.split(rng, num_samples)
-        if with_logp:
-            toks, lps = jax.vmap(one)(keys)  # [K, B, 3], [K, B]
-            return jnp.transpose(toks, (1, 0, 2)), jnp.transpose(lps)
-        toks = jax.vmap(one)(keys)  # [K, B, 3]
-        return jnp.transpose(toks, (1, 0, 2))  # [B, K, 3]
+    body = _sample_body(cfg, gen, mask, num_samples, with_logp)
 
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh, leading_stacked=False)
-    return jax.jit(
-        sample, in_shardings=(repl, batch, repl),
+    jitted = jax.jit(
+        body, in_shardings=(repl, batch, repl, repl),
         out_shardings=(batch, batch) if with_logp else batch,
     )
+    default = 1.0 if tau is None else float(tau)
+
+    def sample(g_params, feats, rng, temp=None):
+        t = default if temp is None else temp
+        return jitted(g_params, feats, rng, jnp.asarray(t, jnp.float32))
+
+    return sample
 
 
 def make_fused_sampler(

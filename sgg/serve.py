@@ -183,6 +183,12 @@ class InferenceEngine:
         self.batch_size = int(batch_size)
         self.num_samples = int(num_samples)
         self.rank = rank
+        # Temperature is a traced operand of the compiled sampler (scalar
+        # or per-row float32[B]) — so requests may override it, and the
+        # batcher may mix temperatures in ONE dispatch, all on a single
+        # compiled program. ``temperature`` here is just the default.
+        self._default_temp = 1.0 if temperature is None else float(temperature)
+        self.supports_request_temperature = True
         self._with_logp = rank != "freq"
         self.step = int(state.step)
         g_params = state.g_params
@@ -272,25 +278,37 @@ class InferenceEngine:
 
     # ------------------------------------------------------------- internals
     def _sample_tokens(
-        self, feats: np.ndarray
+        self, feats: np.ndarray, temps: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray | None]:
-        """float[n,R,F] → (int32[n,K,3], float32[n,K] logp | None);
-        pads/chunks to the compiled batch."""
+        """float[n,R,F] (+ optional float[n] per-row temperatures) →
+        (int32[n,K,3], float32[n,K] logp | None); pads/chunks to the
+        compiled batch. The temperature vector is ALWAYS passed — [B]-shaped,
+        default-filled — so there is exactly one compiled program."""
         n = feats.shape[0]
         B = self.batch_size
+        if temps is None:
+            temps = np.full(n, self._default_temp, np.float32)
+        else:
+            temps = np.asarray(temps, np.float32)
+            if temps.shape != (n,):
+                raise ValueError(f"temps must be float[{n}], got {temps.shape}")
         out, out_lp = [], []
         for lo in range(0, n, B):
             chunk = feats[lo:lo + B]
+            tvec = temps[lo:lo + B]
             pad = B - chunk.shape[0]
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
                 )
+                tvec = np.concatenate(
+                    [tvec, np.full(pad, self._default_temp, np.float32)]
+                )
             with self._lock:
                 self._rng, sub = jax.random.split(self._rng)
                 fut = self._sampler(
                     self._g_params, jnp.asarray(chunk, self.cfg.model.dtype),
-                    sub,
+                    sub, tvec,
                 )
             # sync point outside the lock is fine: the results are already
             # concrete device futures.
@@ -325,15 +343,18 @@ class InferenceEngine:
         return np.concatenate(out) if len(out) > 1 else out[0]
 
     # ------------------------------------------------------------- public
-    def generate(self, feats: np.ndarray) -> list[dict]:
-        """float[n,R,F] → n scene-graph dicts (triples in ``rank`` order)."""
+    def generate(self, feats: np.ndarray,
+                 temps: np.ndarray | None = None) -> list[dict]:
+        """float[n,R,F] → n scene-graph dicts (triples in ``rank`` order).
+        ``temps`` float[n]: optional per-row sampling temperatures (None =
+        the engine default) — same compiled program either way."""
         feats = np.asarray(feats, np.float32)
         if feats.ndim != 3 or feats.shape[1:] != self.feature_shape:
             raise ValueError(
                 f"expected features [n, {self.feature_shape[0]}, "
                 f"{self.feature_shape[1]}], got {feats.shape}"
             )
-        tokens, logp = self._sample_tokens(feats)
+        tokens, logp = self._sample_tokens(feats, temps)
         graphs, _ = assemble_scene_graphs(
             tokens, self.vocab, np.arange(len(tokens)),
             logp=logp, rank=self.rank,
@@ -342,9 +363,11 @@ class InferenceEngine:
             g.pop("image_id", None)
         return graphs
 
-    def generate_from_images(self, images_u8: np.ndarray) -> list[dict]:
-        return self.generate(self.encode_images(np.asarray(images_u8,
-                                                           np.uint8)))
+    def generate_from_images(self, images_u8: np.ndarray,
+                             temps: np.ndarray | None = None) -> list[dict]:
+        return self.generate(
+            self.encode_images(np.asarray(images_u8, np.uint8)), temps
+        )
 
 
 class ArtifactEngine:
@@ -389,6 +412,9 @@ class ArtifactEngine:
         self._images_in = meta["input"] == "images"
         self._rng = jax.random.key(seed)
         self._lock = threading.Lock()
+        # The exported StableHLO program bakes its sampling temperature at
+        # export time; per-request overrides are impossible by design.
+        self.supports_request_temperature = False
 
     @property
     def feature_shape(self) -> tuple[int, int]:
@@ -433,7 +459,13 @@ class ArtifactEngine:
             g.pop("image_id", None)
         return graphs
 
-    def generate(self, feats: np.ndarray) -> list[dict]:
+    def generate(self, feats: np.ndarray,
+                 temps: np.ndarray | None = None) -> list[dict]:
+        if temps is not None:
+            raise ValueError(
+                "this artifact bakes its sampling temperature at export "
+                "time; per-request 'temperature' is not supported"
+            )
         if self._images_in:
             raise ValueError(
                 "this artifact takes images (pixels-in export); POST "
@@ -447,7 +479,13 @@ class ArtifactEngine:
             )
         return self._graphs(self._dispatch(feats))
 
-    def generate_from_images(self, images_u8: np.ndarray) -> list[dict]:
+    def generate_from_images(self, images_u8: np.ndarray,
+                             temps: np.ndarray | None = None) -> list[dict]:
+        if temps is not None:
+            raise ValueError(
+                "this artifact bakes its sampling temperature at export "
+                "time; per-request 'temperature' is not supported"
+            )
         if not self._images_in:
             raise ValueError(
                 "this artifact takes precomputed features; POST 'features'"
@@ -486,19 +524,33 @@ class DynamicBatcher:
         self._q.put(None)  # wake the worker
         self._worker.join(timeout=5)
 
-    def submit(self, feats: np.ndarray, timeout: float | None = 60.0
-               ) -> list[dict]:
-        """Blocking: float[n,R,F] → n scene graphs (may span batches)."""
+    def submit(self, feats: np.ndarray, timeout: float | None = 60.0,
+               temperature: float | None = None) -> list[dict]:
+        """Blocking: float[n,R,F] → n scene graphs (may span batches).
+
+        ``temperature`` overrides the engine's sampling temperature for
+        THIS request only. Items with different temperatures still
+        coalesce into one dispatch — temperature is a per-row traced
+        operand of the engine's single compiled program."""
         feats = np.asarray(feats, np.float32)
         if feats.ndim != 3 or feats.shape[1:] != self.engine.feature_shape:
             raise ValueError(
                 f"expected features [n, {self.engine.feature_shape[0]}, "
                 f"{self.engine.feature_shape[1]}], got {feats.shape}"
             )
+        if temperature is not None:
+            if not getattr(self.engine, "supports_request_temperature", False):
+                raise ValueError(
+                    "this engine bakes its sampling temperature; "
+                    "per-request 'temperature' is not supported"
+                )
+            temperature = float(temperature)
+            if not temperature > 0:
+                raise ValueError("temperature must be > 0")
         futs = []
         for i in range(feats.shape[0]):
             f: Future = Future()
-            self._q.put((feats[i], f))
+            self._q.put((feats[i], temperature, f))
             futs.append(f)
         with self.stats._lock:
             self.stats.requests += 1
@@ -528,18 +580,26 @@ class DynamicBatcher:
                     break
                 batch.append(item)
             feats = np.stack([b[0] for b in batch])
+            # Default-only batches pass temps=None so the artifact engine
+            # (which rejects overrides) keeps working behind the batcher.
+            temps = None
+            if any(b[1] is not None for b in batch):
+                temps = np.asarray(
+                    [b[1] if b[1] is not None else
+                     self.engine._default_temp for b in batch], np.float32,
+                )
             t0 = time.perf_counter()
             try:
-                graphs = self.engine.generate(feats)
+                graphs = self.engine.generate(feats, temps)
             except Exception as e:  # noqa: BLE001 — propagate to callers
                 with self.stats._lock:
                     self.stats.errors += 1
-                for _, f in batch:
+                for _, _, f in batch:
                     if not f.done():
                         f.set_exception(e)
                 continue
             self.stats.record_batch(len(batch), time.perf_counter() - t0)
-            for (_, f), g in zip(batch, graphs):
+            for (_, _, f), g in zip(batch, graphs):
                 f.set_result(g)
 
 
@@ -597,21 +657,39 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                     })
                     return
                 req = json.loads(body)
+                # Optional per-request sampling temperature (tokens ~
+                # softmax(logits / T)); traced operand, so no recompile.
+                temp = req.get("temperature")
+                temp = None if temp is None else float(temp)
+
+                def img_temps(n):
+                    if temp is None:
+                        return None
+                    if not getattr(engine, "supports_request_temperature",
+                                   False):
+                        raise ValueError(
+                            "this engine bakes its sampling temperature; "
+                            "per-request 'temperature' is not supported"
+                        )
+                    return np.full(n, temp, np.float32)
+
                 if "features" in req:
                     feats = np.asarray(req["features"], np.float32)
                     t0 = time.perf_counter()
-                    graphs = batcher.submit(feats)
+                    graphs = batcher.submit(feats, temperature=temp)
                 elif "images" in req:
                     imgs = np.asarray(req["images"], np.uint8)
                     t0 = time.perf_counter()
-                    graphs = engine.generate_from_images(imgs)
+                    graphs = engine.generate_from_images(
+                        imgs, img_temps(imgs.shape[0]))
                 elif "paths" in req:
                     from sgg.data.extract import load_batch
 
                     imgs = load_batch(list(req["paths"]),
                                       engine.cfg.data.image_size)
                     t0 = time.perf_counter()
-                    graphs = engine.generate_from_images(imgs)
+                    graphs = engine.generate_from_images(
+                        imgs, img_temps(imgs.shape[0]))
                 else:
                     self._send(400, {"error":
                                      "need 'features', 'images' or 'paths'"})

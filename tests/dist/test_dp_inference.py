@@ -48,8 +48,14 @@ def test_dp_sampler_matches_single_device(cfg, setup):
 
 
 def test_dp_sampler_with_logp_matches_single_device(cfg, setup):
-    """The DP serving path's with_logp mode: tokens AND per-draw joint
-    log-probs match the single-device with_logp sampler bit for bit."""
+    """The DP serving path's with_logp mode: TOKENS match the single-device
+    with_logp sampler bit for bit (the serving contract). The logp
+    side-channel is allowed 1-ulp float32 slack: since temperature became a
+    traced operand, logits32 has two consumers (log_softmax and the
+    tempered sampling path), and the GSPMD-partitioned program fuses that
+    pair differently from the single-device one — reduction order inside
+    log_softmax shifts by an ulp (observed: ≤1.1e-7 rel on 13/96
+    elements)."""
     g_params, feats, rng = setup
     mesh = make_mesh(MeshSpec(data=-1, model=1))
     single = make_sampler(cfg, num_samples=K, with_logp=True)
@@ -58,7 +64,7 @@ def test_dp_sampler_with_logp_matches_single_device(cfg, setup):
     t_d, lp_d = (np.asarray(x) for x in dp(g_params, feats, rng))
     assert t_d.shape == (B, K, 3) and lp_d.shape == (B, K)
     np.testing.assert_array_equal(t_d, t_s)
-    np.testing.assert_array_equal(lp_d, lp_s)
+    np.testing.assert_allclose(lp_d, lp_s, rtol=3e-7, atol=0)
 
 
 def test_dp_sampler_output_sharded_over_data(cfg, setup):

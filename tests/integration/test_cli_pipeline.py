@@ -203,6 +203,41 @@ def test_train_ema_and_evaluate_zero_shot(tmp_path, capsys):
     )
     assert rc == 2
 
+    # temperature × rank sweep in ONE process (traced-temp sampler): every
+    # combo reports, tagged, including per-combo zero-shot + mR lines
+    rc = cli_evaluate.main(
+        ["--workdir", str(wd), "--k", "10", "--num-samples", "4",
+         "--num-images", "6", "--batch-size", "4",
+         "--temperature", "0.7,1.3", "--rank", "freq,logp",
+         "--zero-shot", "--per-predicate"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    for tag in ("T=0.7 rank=freq", "T=0.7 rank=logp",
+                "T=1.3 rank=freq", "T=1.3 rank=logp"):
+        assert tag in out
+    assert out.count("recall@10") >= 4 and out.count("zsR@10") == 4
+    assert out.count("mR@10") == 4
+    # sweeps are XLA-sampler-only on the fused kernel
+    rc = cli_evaluate.main(
+        ["--workdir", str(wd), "--k", "10", "--num-samples", "4",
+         "--num-images", "6", "--batch-size", "4",
+         "--temperature", "0.7,1.3", "--decode", "fused"]
+    )
+    assert rc == 2
+
+    # predicate-adjust α sweep: host-side re-ranking, combos tagged adj=;
+    # α=0 is the unadjusted logp reference in the same run
+    rc = cli_evaluate.main(
+        ["--workdir", str(wd), "--k", "10", "--num-samples", "4",
+         "--num-images", "6", "--batch-size", "4", "--rank", "logp",
+         "--predicate-adjust", "0,0.5,1.0"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "T=1 rank=logp adj=0.5" in out and "adj=1" in out
+    assert out.count("recall@10") == 3
+
     # --ema against a run trained WITHOUT EMA fails cleanly, not mid-sample.
     wd2 = tmp_path / "run_plain"
     assert cli_train.main(train_args(wd2, ema=False)) == 0

