@@ -26,7 +26,8 @@ Endpoints (JSON over HTTP):
                       or {"images": [[[[u8]]]]} / {"paths": [...]} on
                       encoder configs (pixels in, graphs out).
   GET  /healthz       {"ok": true, "step": N, ...}
-  GET  /stats         batching/latency counters.
+  GET  /stats         batching/latency counters (JSON).
+  GET  /metrics       the same counters in Prometheus text exposition.
 
 Binary request path (``Content-Type: application/octet-stream``): one image
 as JSON text is ~2.1 MB of floats to parse — measured session 12, the JSON
@@ -622,6 +623,15 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_text(self, code: int, text: str,
+                       ctype: str = "text/plain; version=0.0.4") -> None:
+            body = text.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._send(200, {
@@ -632,6 +642,39 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 })
             elif self.path == "/stats":
                 self._send(200, stats.snapshot(engine.batch_size))
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the same counters /stats
+                # serves as JSON — so the standard scrape stack works
+                # against this server with zero glue.
+                s = stats.snapshot(engine.batch_size)
+                lines = [
+                    "# HELP sgg_requests_total HTTP generate requests.",
+                    "# TYPE sgg_requests_total counter",
+                    f"sgg_requests_total {s['requests']}",
+                    "# HELP sgg_items_total Images submitted for decoding.",
+                    "# TYPE sgg_items_total counter",
+                    f"sgg_items_total {s['items']}",
+                    "# HELP sgg_batches_total Device dispatches.",
+                    "# TYPE sgg_batches_total counter",
+                    f"sgg_batches_total {s['batches']}",
+                    "# HELP sgg_errors_total Failed batch dispatches.",
+                    "# TYPE sgg_errors_total counter",
+                    f"sgg_errors_total {s['errors']}",
+                    "# HELP sgg_batch_fill_avg Mean items per dispatch.",
+                    "# TYPE sgg_batch_fill_avg gauge",
+                    f"sgg_batch_fill_avg {s['avg_batch_fill']:.4f}",
+                    "# HELP sgg_batch_size Compiled device batch size.",
+                    "# TYPE sgg_batch_size gauge",
+                    f"sgg_batch_size {s['batch_size']}",
+                    "# HELP sgg_batch_latency_ms Device batch latency.",
+                    "# TYPE sgg_batch_latency_ms summary",
+                ] + [
+                    f'sgg_batch_latency_ms{{quantile="{q}"}} '
+                    f"{s['batch_latency_ms'][p]}"
+                    for q, p in (("0.5", "p50"), ("0.95", "p95"),
+                                 ("0.99", "p99"))
+                ]
+                self._send_text(200, "\n".join(lines) + "\n")
             else:
                 self._send(404, {"error": "unknown path"})
 

@@ -227,6 +227,29 @@ def test_http_generate_and_stats(http_server):
     assert status == 200 and stats["items"] >= 3
 
 
+def test_http_prometheus_metrics(http_server):
+    # drive at least one batch through, then scrape
+    status, _ = _post(http_server + "/v1/generate",
+                      {"features": _feats(2, seed=12).tolist()})
+    assert status == 200
+    req = urllib.request.Request(http_server + "/metrics")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    for name in ("sgg_requests_total", "sgg_items_total",
+                 "sgg_batches_total", "sgg_errors_total",
+                 "sgg_batch_fill_avg", "sgg_batch_size"):
+        assert f"\n{name} " in "\n" + text or text.startswith(f"{name} ")
+        assert f"# TYPE {name}" in text
+    assert 'sgg_batch_latency_ms{quantile="0.95"}' in text
+    # counters are numbers and consistent with /stats
+    _, stats = _get(http_server + "/stats")
+    line = [ln for ln in text.splitlines()
+            if ln.startswith("sgg_items_total")][0]
+    assert int(line.split()[1]) == stats["items"]
+
+
 def test_http_bad_requests(http_server):
     status, body = _post(http_server + "/v1/generate", {"nope": 1})
     assert status == 400 and "error" in body
