@@ -162,6 +162,27 @@ def main() -> None:
          args.bulk_requests * args.batch_size * 2 / dt, "img/s",
          imgs_per_request=args.batch_size * 2, wire="f16")
 
+    # concurrent binary: coalescing without the JSON parse serializing
+    # every request on the single host core
+    done2 = threading.Barrier(args.clients + 1)
+
+    def client_bin():
+        for _ in range(args.requests_per_client):
+            _post_bin(url, one_f16)
+        done2.wait()
+
+    before = batcher.stats.snapshot(engine.batch_size)
+    t0 = time.perf_counter()
+    for _ in range(args.clients):
+        threading.Thread(target=client_bin, daemon=True).start()
+    done2.wait()
+    dt = time.perf_counter() - t0
+    after = batcher.stats.snapshot(engine.batch_size)
+    n_batches = after["batches"] - before["batches"]
+    emit("serve_concurrent_throughput_binary", n_total / dt, "req/s",
+         clients=args.clients,
+         avg_batch_fill=round(n_total / max(n_batches, 1), 2), wire="f16")
+
     server.shutdown()
     server.server_close()
     batcher.close()
