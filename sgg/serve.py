@@ -605,8 +605,13 @@ class DynamicBatcher:
 
 
 def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
-                     port: int = 8500) -> ThreadingHTTPServer:
-    """Build (not start) the HTTP front end; ``.serve_forever()`` to run."""
+                     port: int = 8500,
+                     max_body_bytes: int = 512 << 20) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP front end; ``.serve_forever()`` to run.
+
+    ``max_body_bytes`` bounds request bodies (default 512 MB — a full
+    binary batch of 1024 f32 feature rows is ~400 MB); oversized requests
+    get 413 without the body ever being read into memory."""
     engine, stats = batcher.engine, batcher.stats
 
     class Handler(BaseHTTPRequestHandler):
@@ -684,6 +689,13 @@ def make_http_server(batcher: DynamicBatcher, host: str = "127.0.0.1",
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > max_body_bytes:
+                    self._send(413, {
+                        "error": f"request body {n} bytes exceeds the "
+                                 f"server cap ({max_body_bytes}); split "
+                                 "the request"
+                    })
+                    return
                 body = self.rfile.read(n)
                 ctype = self.headers.get("Content-Type", "")
                 if ctype.startswith("application/octet-stream"):

@@ -250,6 +250,33 @@ def test_http_prometheus_metrics(http_server):
     assert int(line.split()[1]) == stats["items"]
 
 
+def test_http_body_size_cap(workdir):
+    """Oversized Content-Length → 413 before the body is read into RAM."""
+    from sgg.serve import DynamicBatcher, InferenceEngine, make_http_server
+
+    eng = InferenceEngine.from_workdir(workdir, batch_size=2, num_samples=2)
+    eng.warmup()
+    batcher = DynamicBatcher(eng, max_wait_ms=1.0)
+    server = make_http_server(batcher, host="127.0.0.1", port=0,
+                              max_body_bytes=1024)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{port}/v1/generate"
+        status, body = _post(url, {"features": _feats(2).tolist()})
+        assert status == 413 and "cap" in body["error"]
+        # under the cap still works (1 image binary f16 = 300 B)
+        from sgg.serve import encode_binary_request
+
+        status, body = _post_bin(
+            url, encode_binary_request(_feats(1).astype(np.float16)))
+        assert status == 200 and len(body["scene_graphs"]) == 1
+    finally:
+        server.shutdown()
+        server.server_close()
+        batcher.close()
+
+
 def test_http_bad_requests(http_server):
     status, body = _post(http_server + "/v1/generate", {"nope": 1})
     assert status == 400 and "error" in body
