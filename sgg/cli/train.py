@@ -24,10 +24,9 @@ from sgg.cli.common import (
 )
 from sgg.data import make_train_iterator
 from sgg.dist import (
-    MeshSpec,
     batch_sharding,
     initialize_multihost,
-    make_mesh,
+    mesh_from_config,
     replicated_sharding,
 )
 from sgg.train.checkpoint import CheckpointManager
@@ -75,9 +74,7 @@ def main(argv=None) -> int:
     mesh = None
     sharding = None
     if jax.device_count() > 1:
-        mesh = make_mesh(MeshSpec(
-            data=cfg.mesh.data, model=cfg.mesh.model, seq=cfg.mesh.seq
-        ))
+        mesh = mesh_from_config(cfg.mesh)
         sharding = batch_sharding(mesh)
         print(f"[sgg.train] mesh={dict(mesh.shape)}", flush=True)
 

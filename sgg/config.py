@@ -205,6 +205,12 @@ class MeshConfig:
     # sp_mode and pp_microbatches compose (DP×SP×PP) instead of
     # contending for 'model'.
     seq: int = 1
+    # >1 adds an 'expert' mesh axis (between 'seq' and 'model'): MoE
+    # layers (model.moe_experts > 0) run expert-parallel over it via the
+    # shard_map all_to_all exchange (sgg.dist.expert_parallel); expert
+    # params/moments store sharded over the axis. Outside MoE layers the
+    # axis acts as extra data parallelism.
+    expert: int = 1
     # Partitioning backend: 'shard_map' (explicit pmean collectives),
     # 'gspmd' (NamedSharding rules; required for TP/FSDP), or 'auto'
     # (gspmd whenever model>1 or fsdp, else shard_map).

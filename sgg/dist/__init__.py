@@ -9,6 +9,7 @@ all_gather / reduce_scatter / ppermute / all_to_all) over ICI and DCN.
 from sgg.dist.mesh import (
     MeshSpec,
     make_mesh,
+    mesh_from_config,
     batch_sharding,
     replicated_sharding,
     local_batch_size,
@@ -33,6 +34,7 @@ __all__ = [
     "ulysses_attention",
     "MeshSpec",
     "make_mesh",
+    "mesh_from_config",
     "batch_sharding",
     "replicated_sharding",
     "local_batch_size",

@@ -93,6 +93,19 @@ def make_mesh(spec: MeshSpec | None = None, devices=None) -> Mesh:
     )
 
 
+def mesh_from_config(mesh_cfg, devices=None) -> Mesh:
+    """Build the mesh a config's ``mesh`` section describes (the train
+    CLI's path — keeps every axis knob, including 'expert', reachable from
+    `--set mesh.<axis>=N` instead of only from code)."""
+    return make_mesh(
+        MeshSpec(
+            data=mesh_cfg.data, model=mesh_cfg.model, seq=mesh_cfg.seq,
+            expert=getattr(mesh_cfg, "expert", 1),
+        ),
+        devices=devices,
+    )
+
+
 def batch_sharding(mesh: Mesh, leading_stacked: bool = True) -> NamedSharding:
     """Sharding for train batches: batch dim over 'data'.
 

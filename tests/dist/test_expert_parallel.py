@@ -136,3 +136,18 @@ def test_ep_train_step_matches_single_device():
         np.testing.assert_allclose(
             float(m_ep[k]), float(m_ref[k]), rtol=1e-3, atol=1e-6, err_msg=k
         )
+
+
+def test_mesh_from_config_reaches_expert_axis():
+    """mesh.expert is reachable from the config system (the train CLI path)
+    — round-3 session-13 wiring fix: the EP tier existed but no config
+    could build a mesh with an 'expert' axis."""
+    from sgg.config import Config
+    from sgg.dist import mesh_from_config
+
+    cfg = Config.from_dict({"mesh": {"data": 2, "expert": 4}})
+    assert cfg.mesh.expert == 4
+    mesh = mesh_from_config(cfg.mesh)
+    assert dict(mesh.shape) == {"data": 2, "expert": 4, "model": 1}
+    plain = mesh_from_config(Config().mesh)
+    assert dict(plain.shape) == {"data": 8, "model": 1}
