@@ -21,7 +21,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-if os.environ.get("JAX_PLATFORMS") == "axon":
+_env_platform = os.environ.get("JAX_PLATFORMS")
+if _env_platform:
+    # On this machine JAX_PLATFORMS from the ENVIRONMENT does not take
+    # effect (sitecustomize imports jax first; NOTES.md) — so the
+    # documented `JAX_PLATFORMS=cpu python benchmarks/...` invocation
+    # silently initialized the RELAY backend and, once, collided with the
+    # measurement pipeline's terminal claim and wedged its extract stage
+    # (session 13). Honor the env var for real via jax.config before any
+    # backend initialization.
+    jax.config.update("jax_platforms", _env_platform)
+if _env_platform == "axon":
     # sitecustomize can swallow a failed relay-plugin registration, leaving
     # no 'axon' factory and a crash at first device use — re-register
     # in-process (sgg/utils/axon.py has the full pathology).
