@@ -62,15 +62,15 @@ else
 fi
 
 if [ ! -f "$D/ksat_ab.done" ]; then
-  log "stage B: num-samples saturation (freq rank, EMA)"
-  for k in 25 50 200; do   # 100 already measured by the rank sweep
-    log "stage B: num-samples=$k"
-    python -m sgg.cli.evaluate --workdir "$BWD" --split test \
-      --k 20,50,100 --num-samples "$k" --batch-size 256 --num-images 4096 \
-      --ema --platform axon || { log "K=$k failed"; exit 1; }
-    sleep 60
-  done
-  touch "$D/ksat_ab.done"
+  log "stage B: num-samples saturation curve (ONE process: draws are iid,"
+  log "  smaller Ks are prefixes of the K=200 pass — same noise across Ks)"
+  if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
+      --k 20,50,100 --num-samples 25,50,100,200 --batch-size 256 \
+      --num-images 4096 --ema --platform axon; then
+    touch "$D/ksat_ab.done"
+  else
+    log "stage B FAILED (continuing; re-run in a later session)"
+  fi
 fi
 
 log "all stages complete"

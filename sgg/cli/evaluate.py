@@ -38,7 +38,13 @@ def main(argv=None) -> int:
     p.add_argument("--per-predicate", action="store_true",
                    help="also report predicate-balanced mean recall (mR@k, "
                         "at the largest k) and the worst/best predicates")
-    p.add_argument("--num-samples", type=int, default=100, help="noise draws per image")
+    p.add_argument("--num-samples", default="100",
+                   help="noise draws per image. Comma-separated values "
+                        "sweep the saturation curve IN ONE PROCESS: draws "
+                        "are iid, so the first K' of max-K draws are "
+                        "distributed exactly as a K' run — one sampling "
+                        "pass at max K, host-side prefix truncation per "
+                        "K' (same noise across Ks isolates the K effect)")
     p.add_argument("--temperature", default=None,
                    help="sampling temperature(s): tokens ~ softmax(logits/T) "
                         "(default 1.0 = the model's own distribution). "
@@ -119,6 +125,9 @@ def main(argv=None) -> int:
             print(f"[sgg.evaluate] unknown --rank {r!r}", file=sys.stderr)
             return 2
     with_logp = any(r != "freq" for r in ranks)
+    kss = sorted({int(x) for x in
+                  str(args.num_samples).split(",") if x.strip()}) or [100]
+    n_draws = kss[-1]  # sample once at max K; smaller Ks are prefixes
     if args.decode == "fused":
         if with_logp:
             print(
@@ -138,12 +147,12 @@ def main(argv=None) -> int:
         from sgg.eval.sampler import make_fused_sampler
 
         sampler = make_fused_sampler(
-            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
+            cfg, step_mask=vocab.step_mask(), num_samples=n_draws,
             tau=temps[0],
         )
     else:
         sampler = make_sampler(
-            cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
+            cfg, step_mask=vocab.step_mask(), num_samples=n_draws,
             tau=temps[0], with_logp=with_logp,
         )
     # End-to-end configs: encode features per batch through the
@@ -187,8 +196,8 @@ def main(argv=None) -> int:
     # One sampling pass per temperature per batch (all on ONE compiled
     # program — temp is traced); every rank ordering reuses its
     # temperature's tokens host-side.
-    gen = {(ti, r, a): []
-           for ti in range(len(temps)) for (r, a) in rcombos}
+    gen = {(ti, ks, r, a): []
+           for ti in range(len(temps)) for ks in kss for (r, a) in rcombos}
     gt_triples = []
     B = args.batch_size
     for lo in range(0, n_images, B):
@@ -209,22 +218,27 @@ def main(argv=None) -> int:
             else:
                 tokens, logp = np.asarray(out), None
             for j, i in enumerate(idx):
-                for r, a in rcombos:
-                    gen[(ti, r, a)].append(rank_triples(
-                        tokens[j], None if logp is None else logp[j],
-                        rank=r, pred_adjust=adj_map[(r, a)],
-                    ))
+                for ks in kss:
+                    lp_j = None if logp is None else logp[j, :ks]
+                    for r, a in rcombos:
+                        gen[(ti, ks, r, a)].append(rank_triples(
+                            tokens[j, :ks], lp_j,
+                            rank=r, pred_adjust=adj_map[(r, a)],
+                        ))
         for i in idx:
             gt_triples.append([tuple(map(int, t)) for t in ds.triples[i]])
 
     ks = sorted({int(k) for k in str(args.k).split(",") if k.strip()})
-    combos = [(ti, r, a) for ti in range(len(temps)) for (r, a) in rcombos]
+    combos = [(ti, ksamp, r, a) for ti in range(len(temps))
+              for ksamp in kss for (r, a) in rcombos]
     multi = len(combos) > 1
 
-    def combo_tag(ti, r, a):
+    def combo_tag(ti, ksamp, r, a):
         if not multi:
             return ""
         tag = f" T={1.0 if temps[ti] is None else temps[ti]:g} rank={r}"
+        if len(kss) > 1:
+            tag += f" K={ksamp}"
         return tag + (f" adj={a:g}" if a else "")
 
     seen = None
@@ -234,14 +248,14 @@ def main(argv=None) -> int:
             tuple(int(x) for x in t)
             for trips in train_ds.triples for t in trips
         }
-    for ti, r, a in combos:
-        gen_triples = gen[(ti, r, a)]
-        tag = combo_tag(ti, r, a)
+    for ti, ksamp, r, a in combos:
+        gen_triples = gen[(ti, ksamp, r, a)]
+        tag = combo_tag(ti, ksamp, r, a)
         recalls = corpus_recall_multi(gen_triples, gt_triples, ks)
         rep = " ".join(f"recall@{k} = {recalls[k]:.4f}" for k in ks)
         print(
             f"[sgg.evaluate]{tag} split={args.split} images={n_images} "
-            f"samples/image={args.num_samples} {rep}",
+            f"samples/image={ksamp} {rep}",
             flush=True,
         )
         if seen is not None:
@@ -297,10 +311,10 @@ def main(argv=None) -> int:
         )
     if args.per_predicate:
         kmax = max(ks)
-        for ti, r, a in combos:
-            ctag = combo_tag(ti, r, a)
-            mr, table = corpus_mean_recall(gen[(ti, r, a)], gt_triples,
-                                           k=kmax)
+        for ti, ksamp, r, a in combos:
+            ctag = combo_tag(ti, ksamp, r, a)
+            mr, table = corpus_mean_recall(gen[(ti, ksamp, r, a)],
+                                           gt_triples, k=kmax)
             print(f"[sgg.evaluate]{ctag} mR@{kmax} = {mr:.4f} "
                   f"over {len(table)} predicates with support", flush=True)
             if multi:

@@ -238,6 +238,18 @@ def test_train_ema_and_evaluate_zero_shot(tmp_path, capsys):
     assert "T=1 rank=logp adj=0.5" in out and "adj=1" in out
     assert out.count("recall@10") == 3
 
+    # num-samples saturation sweep: one sampling pass at max K, smaller Ks
+    # are draw prefixes (K= tags; samples/image reports the combo's K)
+    rc = cli_evaluate.main(
+        ["--workdir", str(wd), "--k", "10", "--num-samples", "2,4",
+         "--num-images", "6", "--batch-size", "4"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "K=2" in out and "K=4" in out
+    assert "samples/image=2" in out and "samples/image=4" in out
+    assert out.count("recall@10") == 2
+
     # --ema against a run trained WITHOUT EMA fails cleanly, not mid-sample.
     wd2 = tmp_path / "run_plain"
     assert cli_train.main(train_args(wd2, ema=False)) == 0
