@@ -89,6 +89,11 @@ def main(argv=None) -> int:
     p.add_argument("--predcls-samples", type=int, default=16,
                    help="noise draws mixture-averaged per PredCls row")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json-out", default=None, metavar="PATH",
+                   help="also write the full (temperature x K x rank x "
+                        "alpha) result grid as one JSON file — one record "
+                        "per combo with every recall@k / zsR@k / mR@k — "
+                        "for machine consumption of sweep runs")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -248,10 +253,17 @@ def main(argv=None) -> int:
             tuple(int(x) for x in t)
             for trips in train_ds.triples for t in trips
         }
+    records = {}
     for ti, ksamp, r, a in combos:
         gen_triples = gen[(ti, ksamp, r, a)]
         tag = combo_tag(ti, ksamp, r, a)
         recalls = corpus_recall_multi(gen_triples, gt_triples, ks)
+        rec = {
+            "temperature": 1.0 if temps[ti] is None else temps[ti],
+            "num_samples": ksamp, "rank": r, "predicate_adjust": a,
+            "recall": {str(k): recalls[k] for k in ks},
+        }
+        records[(ti, ksamp, r, a)] = rec
         rep = " ".join(f"recall@{k} = {recalls[k]:.4f}" for k in ks)
         print(
             f"[sgg.evaluate]{tag} split={args.split} images={n_images} "
@@ -261,6 +273,8 @@ def main(argv=None) -> int:
         if seen is not None:
             zs, n_zs = corpus_zero_shot_recall(gen_triples, gt_triples,
                                                seen, ks)
+            rec["zero_shot_recall"] = {str(k): zs[k] for k in ks}
+            rec["zero_shot_images"] = n_zs
             rep = " ".join(f"zsR@{k} = {zs[k]:.4f}" for k in ks)
             print(
                 f"[sgg.evaluate]{tag} zero-shot ({n_zs}/{n_images} images "
@@ -315,6 +329,7 @@ def main(argv=None) -> int:
             ctag = combo_tag(ti, ksamp, r, a)
             mr, table = corpus_mean_recall(gen[(ti, ksamp, r, a)],
                                            gt_triples, k=kmax)
+            records[(ti, ksamp, r, a)][f"mean_recall@{kmax}"] = mr
             print(f"[sgg.evaluate]{ctag} mR@{kmax} = {mr:.4f} "
                   f"over {len(table)} predicates with support", flush=True)
             if multi:
@@ -324,6 +339,18 @@ def main(argv=None) -> int:
                 for p, (rr, n) in rows:
                     print(f"[sgg.evaluate]   {tag}: {vocab.token(p):<24} "
                           f"recall@{kmax} = {rr:.4f}  (n={n})", flush=True)
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump({
+                "workdir": args.workdir, "split": args.split,
+                "images": int(n_images), "seed": args.seed,
+                "ema": bool(args.ema), "decode": args.decode,
+                "combos": list(records.values()),
+            }, f, indent=2)
+        print(f"[sgg.evaluate] wrote {args.json_out} "
+              f"({len(records)} combos)", flush=True)
     return 0
 
 
