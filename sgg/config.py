@@ -123,6 +123,21 @@ class TrainConfig:
     d_lr: float = 1e-4
     beta1: float = 0.5
     beta2: float = 0.9
+    # Learning-rate schedule shared by both optimizers (and the encoder's):
+    # "constant" (the reference's fixed Adam lr), "cosine" (decay to
+    # lr_final_frac·lr over total_steps), or "linear". warmup_steps > 0
+    # prepends a linear 0→lr ramp in TRAIN steps regardless of schedule.
+    # Horizons are per-optimizer: the critic takes n_critic updates per
+    # train step, so its schedule is stretched by n_critic to stay aligned
+    # with the generator's in wall-step terms (sgg/train/state.py).
+    # Defaults reproduce the shipped runs bit-for-bit (plain float lr —
+    # the optimizer state pytree is unchanged when both knobs are off).
+    lr_schedule: str = "constant"  # constant | cosine | linear
+    warmup_steps: int = 0
+    lr_final_frac: float = 0.0  # cosine/linear floor as a fraction of peak
+    # Global-norm gradient clipping applied to G, D, and (if trained) the
+    # encoder. 0 = off (no transform in the chain — state unchanged).
+    grad_clip: float = 0.0
     total_steps: int = 100_000
     seed: int = 0
     # Gumbel-softmax temperature annealing: tau = max(min, tau0 * exp(-r*step))

@@ -77,16 +77,67 @@ def make_models(cfg: Config):
     return gen, critic
 
 
+def lr_schedule_fn(cfg: Config, peak: float, updates_per_step: int):
+    """Build count→lr for one optimizer, or None when both knobs are off.
+
+    optax counts UPDATE calls, not train steps: the critic's Adam sees
+    ``n_critic`` updates per fused train step (the scan in
+    sgg/train/step.py) while the generator's sees one. ``updates_per_step``
+    rescales warmup/decay horizons so every optimizer's schedule tracks the
+    same wall-step clock. Returning None keeps the historical plain-float
+    lr — optax then uses a stateless scale, so the optimizer-state pytree
+    (and every existing checkpoint) is unchanged when schedules are off.
+    """
+    t = cfg.train
+    if t.lr_schedule == "constant" and t.warmup_steps <= 0:
+        return None
+    if t.lr_schedule not in ("constant", "cosine", "linear"):
+        raise ValueError(
+            f"unknown train.lr_schedule {t.lr_schedule!r} "
+            "(constant | cosine | linear)"
+        )
+    warm = float(max(t.warmup_steps, 0) * updates_per_step)
+    total = float(max(t.total_steps, 1) * updates_per_step)
+    end = peak * t.lr_final_frac
+    kind = t.lr_schedule
+
+    def sched(count):
+        c = jnp.asarray(count, jnp.float32)
+        warm_lr = peak * (c + 1.0) / jnp.maximum(warm, 1.0)
+        frac = jnp.clip(
+            (c - warm) / jnp.maximum(total - warm, 1.0), 0.0, 1.0
+        )
+        if kind == "cosine":
+            decay = end + (peak - end) * 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        elif kind == "linear":
+            decay = peak + (end - peak) * frac
+        else:  # constant after warmup
+            decay = jnp.asarray(peak, jnp.float32)
+        return jnp.where(c < warm, warm_lr, decay)
+
+    return sched
+
+
+def _make_tx(cfg: Config, peak: float,
+             updates_per_step: int) -> optax.GradientTransformation:
+    t = cfg.train
+    sched = lr_schedule_fn(cfg, peak, updates_per_step)
+    tx = optax.adam(peak if sched is None else sched, b1=t.beta1, b2=t.beta2)
+    if t.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(t.grad_clip), tx)
+    return tx
+
+
 def make_optimizers(cfg: Config) -> tuple[optax.GradientTransformation, optax.GradientTransformation]:
     t = cfg.train
-    g_tx = optax.adam(t.g_lr, b1=t.beta1, b2=t.beta2)
-    d_tx = optax.adam(t.d_lr, b1=t.beta1, b2=t.beta2)
+    g_tx = _make_tx(cfg, t.g_lr, 1)
+    d_tx = _make_tx(cfg, t.d_lr, t.n_critic)
     return g_tx, d_tx
 
 
 def make_encoder_optimizer(cfg: Config) -> optax.GradientTransformation:
-    t = cfg.train
-    return optax.adam(t.enc_lr, b1=t.beta1, b2=t.beta2)
+    # The encoder updates inside the critic scan → n_critic updates/step.
+    return _make_tx(cfg, cfg.train.enc_lr, cfg.train.n_critic)
 
 
 def create_train_state(

@@ -320,3 +320,108 @@ def test_train_encoder_requires_pixel_config(smoke_cfg):
             make_train_step(cfg, donate=False)
     finally:
         cfg.train.train_encoder = False
+
+
+# ---- LR schedules + gradient clipping (sgg/train/state.py) ----------------
+
+def _sched_cfg(**kw):
+    cfg = get_config("smoke")
+    cfg.model.vocab_size = V
+    cfg.data.regions, cfg.data.feat_dim = R, F
+    cfg.train.batch_size = B
+    cfg.train.total_steps = 100
+    for k, v in kw.items():
+        setattr(cfg.train, k, v)
+    return cfg
+
+
+def test_lr_schedule_off_keeps_opt_state_structure():
+    # The bit-compat contract: defaults build the SAME optimizer-state
+    # pytree as plain optax.adam — existing checkpoints restore unchanged.
+    import optax
+    from sgg.train.state import make_optimizers
+
+    cfg = _sched_cfg()
+    g_tx, d_tx = make_optimizers(cfg)
+    params = {"w": jnp.ones((3, 2))}
+    ref = optax.adam(cfg.train.g_lr, b1=cfg.train.beta1,
+                     b2=cfg.train.beta2).init(params)
+    assert (jax.tree.structure(g_tx.init(params))
+            == jax.tree.structure(ref))
+    assert (jax.tree.structure(d_tx.init(params))
+            == jax.tree.structure(ref))
+
+
+def test_lr_schedule_shapes():
+    from sgg.train.state import lr_schedule_fn
+
+    cfg = _sched_cfg(lr_schedule="cosine", warmup_steps=10,
+                     lr_final_frac=0.1, g_lr=1e-3)
+    s = lr_schedule_fn(cfg, cfg.train.g_lr, updates_per_step=1)
+    # warmup ramps up to peak at the end of warmup
+    assert float(s(0)) == pytest.approx(1e-4, rel=1e-5)
+    assert float(s(9)) == pytest.approx(1e-3, rel=1e-5)
+    # cosine lands on the floor at total_steps
+    assert float(s(100)) == pytest.approx(1e-4, rel=1e-4)
+    # midpoint of the decay window [10, 100] is the cosine half-way point
+    mid = float(s(55))
+    assert 1e-4 < mid < 1e-3
+    assert mid == pytest.approx((1e-3 + 1e-4) / 2, rel=1e-3)
+
+    # linear: exact straight line
+    cfg.train.lr_schedule = "linear"
+    s = lr_schedule_fn(cfg, cfg.train.g_lr, updates_per_step=1)
+    assert float(s(55)) == pytest.approx((1e-3 + 1e-4) / 2, rel=1e-4)
+
+    # constant + warmup: flat at peak after the ramp
+    cfg.train.lr_schedule = "constant"
+    s = lr_schedule_fn(cfg, cfg.train.g_lr, updates_per_step=1)
+    assert float(s(50)) == pytest.approx(1e-3, rel=1e-6)
+    assert float(s(99)) == pytest.approx(1e-3, rel=1e-6)
+
+    # n_critic horizon stretch: the critic's schedule in UPDATE counts
+    # matches the generator's in train-step terms
+    s5 = lr_schedule_fn(cfg, cfg.train.g_lr, updates_per_step=5)
+    assert float(s5(49)) == pytest.approx(float(s(9)), rel=1e-5)
+
+
+def test_lr_schedule_unknown_raises():
+    from sgg.train.state import lr_schedule_fn
+
+    cfg = _sched_cfg(lr_schedule="step")
+    with pytest.raises(ValueError, match="lr_schedule"):
+        lr_schedule_fn(cfg, 1e-3, 1)
+
+
+def test_grad_clip_bounds_update():
+    from sgg.train.state import make_optimizers
+
+    cfg = _sched_cfg(grad_clip=1.0)
+    g_tx, _ = make_optimizers(cfg)
+    params = {"w": jnp.zeros((4,))}
+    opt = g_tx.init(params)
+    huge = {"w": jnp.full((4,), 1e6)}
+    unit = {"w": jnp.full((4,), 0.5)}  # global norm 1.0
+    up_huge, _ = g_tx.update(huge, opt, params)
+    up_unit, _ = g_tx.update(unit, opt, params)
+    # clipping rescales the huge gradient onto the unit sphere → identical
+    # Adam updates for two gradients that only differ in magnitude
+    np.testing.assert_allclose(np.asarray(up_huge["w"]),
+                               np.asarray(up_unit["w"]), rtol=1e-6)
+
+
+def test_fused_step_runs_with_schedule_and_clip():
+    cfg = _sched_cfg(lr_schedule="cosine", warmup_steps=2, grad_clip=5.0)
+    state = create_train_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, donate=False)
+    batch = _rand_batch(0, cfg.train.n_critic + 1)
+    s1, m = step(state, batch)
+    assert int(s1.step) == 1
+    assert np.isfinite(float(m["d_loss"]))
+    # params actually moved
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.g_params),
+                        jax.tree.leaves(s1.g_params))
+    )
+    assert moved
