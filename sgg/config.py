@@ -138,6 +138,16 @@ class TrainConfig:
     # Global-norm gradient clipping applied to G, D, and (if trained) the
     # encoder. 0 = off (no transform in the chain — state unchanged).
     grad_clip: float = 0.0
+    # Gradient accumulation: split every update's sub-batch into this many
+    # sequential microbatches (a lax.scan inside the fused step) and average
+    # the gradients — the memory-for-time lever for GP double-backprop on
+    # the big encoder configs. 1 = off and BIT-IDENTICAL to the historical
+    # step (the microbatch key path degenerates to the old rng). Needs
+    # batch_size divisible by grad_accum × data-shards. Stochastic loss
+    # terms (GP eps, generator z/Gumbel, REINFORCE's leave-one-out
+    # baseline) draw/compute per microbatch — same distribution, different
+    # draws than an equivalent unaccumulated batch.
+    grad_accum: int = 1
     total_steps: int = 100_000
     seed: int = 0
     # Gumbel-softmax temperature annealing: tau = max(min, tau0 * exp(-r*step))

@@ -41,6 +41,53 @@ def tau_schedule(cfg: Config, step: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _accum_vg(vg_fn, params, batch, rng, accum: int):
+    """Microbatch-accumulated value-and-grad (``train.grad_accum``).
+
+    ``vg_fn(params, microbatch_tuple, key) → ((loss, aux), grads)`` runs on
+    ``accum`` equal splits of the leading batch axis — the first chunk
+    inline (it also fixes the carry structure), the rest under ``lax.scan``
+    so XLA re-materializes each microbatch's activations instead of holding
+    all of them: ~1/accum the activation memory of the full-batch gradient,
+    which is what GP double-backprop needs on big encoder configs. Loss,
+    aux scalars, and grads are AVERAGED (every aux field is a per-batch
+    mean, so the mean of microbatch means is the full-batch mean).
+
+    accum == 1 is bit-identical to calling ``vg_fn(params, batch, rng)``
+    directly: the split is a no-op reshape and the key passes through
+    unsplit. For accum > 1 each microbatch gets its own key, so stochastic
+    loss terms sample fresh per microbatch — same distribution as one big
+    batch, different draws.
+    """
+    def split(x):
+        return x.reshape(accum, x.shape[0] // accum, *x.shape[1:])
+
+    mbs = jax.tree.map(split, batch)
+    keys = rng[None] if accum == 1 else jax.random.split(rng, accum)
+
+    (l0, a0), g0 = vg_fn(params, jax.tree.map(lambda x: x[0], mbs), keys[0])
+    if accum == 1:
+        return (l0, a0), g0
+
+    def body(carry, inp):
+        mb, k = inp
+        (loss, aux), g = vg_fn(params, mb, k)
+        c_l, c_a, c_g = carry
+        return (
+            c_l + loss,
+            jax.tree.map(jnp.add, c_a, aux),
+            jax.tree.map(jnp.add, c_g, g),
+        ), None
+
+    (l, a, g), _ = jax.lax.scan(
+        body, (l0, a0, g0),
+        (jax.tree.map(lambda x: x[1:], mbs), keys[1:]),
+    )
+    inv = 1.0 / accum
+    mean = lambda t: jax.tree.map(lambda x: x * inv, t)  # noqa: E731
+    return (l * inv, mean(a)), mean(g)
+
+
 def make_step_fn(
     cfg: Config,
     step_mask=None,
@@ -59,6 +106,7 @@ def make_step_fn(
     g_tx, d_tx = make_optimizers(cfg)
     V = cfg.model.vocab_size
     n_critic = cfg.train.n_critic
+    accum = max(1, int(cfg.train.grad_accum))
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
     # End-to-end configs carry uint8 images; the frozen backbone runs
     # on-device inside the fused step (BASELINE.json:8). With sp_mode set
@@ -227,6 +275,11 @@ def make_step_fn(
                     enc_feats(state.enc_params, images)
                 )
 
+        if accum > 1 and data.shape[1] % accum:
+            raise ValueError(
+                f"train.grad_accum={accum} must divide the per-shard batch "
+                f"({data.shape[1]}; batch_size / data-shards)"
+            )
         tau = tau_schedule(cfg, state.step)
         rng = jax.random.fold_in(state.rng, state.step)
         # Decorrelate noise/Gumbel draws across data shards. The fold happens
@@ -258,8 +311,10 @@ def make_step_fn(
                 with jax.named_scope("critic_update"):
                     d_params, d_opt = carry
                     feats, real_ids, fake, key = inp
-                    (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                        d_params, feats, real_ids, fake, key
+                    (_, aux), grads = _accum_vg(
+                        lambda p, mb, k: jax.value_and_grad(
+                            d_loss_fn, has_aux=True)(p, *mb, k),
+                        d_params, (feats, real_ids, fake), key, accum,
                     )
                     grads = maybe_pmean(grads)
                     updates, d_opt = d_tx.update(grads, d_opt, d_params)
@@ -283,22 +338,30 @@ def make_step_fn(
                 with jax.named_scope("critic_update"):
                     d_params, d_opt, enc_p, enc_opt = carry
                     raw, real_ids, key = inp
-                    key_f, key_gp = jax.random.split(key)
 
-                    def joint_loss(dp, ep):
-                        with jax.named_scope("encoder"):
-                            feats = enc_feats(ep, raw)
-                        fake = jax.lax.stop_gradient(
-                            sample_fake(
-                                state.g_params,
-                                jax.lax.stop_gradient(feats), key_f, tau,
+                    def vg_joint(params, mb, k):
+                        raw_mb, real_mb = mb
+                        key_f, key_gp = jax.random.split(k)
+
+                        def joint_loss(dp, ep):
+                            with jax.named_scope("encoder"):
+                                feats = enc_feats(ep, raw_mb)
+                            fake = jax.lax.stop_gradient(
+                                sample_fake(
+                                    state.g_params,
+                                    jax.lax.stop_gradient(feats), key_f, tau,
+                                )
                             )
-                        )
-                        return d_loss_fn(dp, feats, real_ids, fake, key_gp)
+                            return d_loss_fn(dp, feats, real_mb, fake, key_gp)
 
-                    (_, aux), (d_grads, enc_grads) = jax.value_and_grad(
-                        joint_loss, argnums=(0, 1), has_aux=True
-                    )(d_params, enc_p)
+                        return jax.value_and_grad(
+                            joint_loss, argnums=(0, 1), has_aux=True
+                        )(*params)
+
+                    (_, aux), (d_grads, enc_grads) = _accum_vg(
+                        vg_joint, (d_params, enc_p), (raw, real_ids),
+                        key, accum,
+                    )
                     d_grads = maybe_pmean(d_grads)
                     enc_grads = maybe_pmean(enc_grads)
                     aux["enc_gnorm"] = optax.global_norm(enc_grads)
@@ -334,8 +397,10 @@ def make_step_fn(
                     fake = jax.lax.stop_gradient(
                         sample_fake(state.g_params, feats, key_f, tau)
                     )
-                    (_, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                        d_params, feats, real_ids, fake, key_gp
+                    (_, aux), grads = _accum_vg(
+                        lambda p, mb, k: jax.value_and_grad(
+                            d_loss_fn, has_aux=True)(p, *mb, k),
+                        d_params, (feats, real_ids, fake), key_gp, accum,
                     )
                     grads = maybe_pmean(grads)
                     updates, d_opt = d_tx.update(grads, d_opt, d_params)
@@ -354,8 +419,11 @@ def make_step_fn(
 
         # ---- one generator update on the final fresh sub-batch ----
         with jax.named_scope("generator_update"):
-            (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-                state.g_params, d_params, get_feats(data[n_critic]), rng_g, tau
+            feats_g = get_feats(data[n_critic])
+            (_, g_aux), g_grads = _accum_vg(
+                lambda p, mb, k: jax.value_and_grad(g_loss_fn, has_aux=True)(
+                    p, d_params, mb[0], k, tau),
+                state.g_params, (feats_g,), rng_g, accum,
             )
             g_grads = maybe_pmean(g_grads)
             g_updates, g_opt_state = g_tx.update(

@@ -425,3 +425,123 @@ def test_fused_step_runs_with_schedule_and_clip():
                         jax.tree.leaves(s1.g_params))
     )
     assert moved
+
+
+# ---- Gradient accumulation (train.grad_accum) ------------------------------
+
+def test_accum_vg_exact_average():
+    # Deterministic loss: accumulated grads must equal the full-batch
+    # gradient of the mean loss exactly (same adds, reassociated).
+    from sgg.train.step import _accum_vg
+
+    params = jnp.asarray(np.random.RandomState(0).randn(F).astype(np.float32))
+    x = jnp.asarray(np.random.RandomState(1).randn(B, F).astype(np.float32))
+
+    def loss(p, xb):
+        v = jnp.mean(jnp.sin(xb @ p) ** 2)
+        return v, {"v": v}
+
+    def vg(p, mb, k):
+        del k
+        return jax.value_and_grad(loss, has_aux=True)(p, mb[0])
+
+    (full, fa), fg = vg(params, (x,), None)
+    (acc, aa), ag = _accum_vg(vg, params, (x,), jax.random.key(0), 4)
+    np.testing.assert_allclose(float(acc), float(full), rtol=1e-6)
+    np.testing.assert_allclose(float(aa["v"]), float(fa["v"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(ag), np.asarray(fg), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_accum_vg_one_is_passthrough():
+    # accum=1 must hand the UNSPLIT key through (bit-compat contract).
+    from sgg.train.step import _accum_vg
+
+    seen = {}
+
+    def vg(p, mb, k):
+        seen["key"] = k
+        return (jnp.float32(0.0), {}), jnp.zeros_like(p)
+
+    rng = jax.random.key(7)
+    _accum_vg(vg, jnp.zeros((3,)), (jnp.zeros((B, 2)),), rng, 1)
+    assert jax.random.key_data(seen["key"]).tolist() == (
+        jax.random.key_data(rng).tolist()
+    )
+
+
+def test_fused_step_grad_accum_trains(smoke_cfg):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        smoke_cfg, train=dataclasses.replace(smoke_cfg.train, grad_accum=4)
+    )
+    state = create_train_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, donate=False)
+    batch = _rand_batch(0, cfg.train.n_critic + 1)
+    s1, m = step(state, batch)
+    assert int(s1.step) == 1
+    for k in ("d_loss", "g_loss", "w_dist", "gp"):
+        assert np.isfinite(float(m[k])), k
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.g_params),
+                        jax.tree.leaves(s1.g_params))
+    )
+    assert moved
+
+
+def test_grad_accum_must_divide_batch(smoke_cfg):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        smoke_cfg, train=dataclasses.replace(smoke_cfg.train, grad_accum=3)
+    )  # B=8 not divisible by 3
+    state = create_train_state(cfg, jax.random.key(0))
+    step = make_train_step(cfg, donate=False)
+    with pytest.raises(ValueError, match="grad_accum"):
+        step(state, _rand_batch(0, cfg.train.n_critic + 1))
+
+
+def test_grad_accum_one_bit_identical(smoke_cfg):
+    # grad_accum=1 must reproduce the historical step EXACTLY.
+    import dataclasses
+
+    cfg1 = dataclasses.replace(
+        smoke_cfg, train=dataclasses.replace(smoke_cfg.train, grad_accum=1)
+    )
+    state = create_train_state(smoke_cfg, jax.random.key(0))
+    batch = _rand_batch(0, smoke_cfg.train.n_critic + 1)
+    s_ref, m_ref = make_train_step(smoke_cfg, donate=False)(state, batch)
+    s_acc, m_acc = make_train_step(cfg1, donate=False)(state, batch)
+    for a, b in zip(jax.tree.leaves(s_ref.g_params),
+                    jax.tree.leaves(s_acc.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(m_ref["d_loss"]), np.asarray(m_acc["d_loss"])
+    )
+
+
+def test_grad_accum_with_trainable_encoder():
+    # The joint D+encoder microbatch path: backbone must still move and
+    # metrics stay finite with accumulation on.
+    cfg = _enc_cfg()
+    cfg.train.train_encoder = True
+    cfg.train.grad_accum = 2
+    try:
+        state = create_train_state(cfg, jax.random.key(0))
+        step = make_train_step(cfg, donate=False)
+        batch = _img_batch(0, cfg.train.n_critic + 1, cfg.train.batch_size)
+        s1, m = step(state, batch)
+        assert np.isfinite(float(m["d_loss"]))
+        assert np.isfinite(float(m["enc_gnorm"]))
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(jax.tree.leaves(state.enc_params),
+                            jax.tree.leaves(s1.enc_params))
+        )
+        assert moved
+    finally:
+        cfg.train.train_encoder = False
+        cfg.train.grad_accum = 1
