@@ -254,6 +254,25 @@ def main(argv=None) -> int:
         cfg.train.batch_size * (cfg.train.n_critic + 1) * jax.process_count()
     )
 
+    probe = None
+    if cfg.train.eval_every > 0:
+        if jax.process_count() > 1:
+            print(
+                "[sgg.train] train.eval_every: in-loop probe is "
+                "single-process only — skipping (evaluate offline)",
+                flush=True,
+            )
+        else:
+            from sgg.train.eval_probe import EvalProbe
+
+            probe = EvalProbe(cfg, vocab, log=lambda m: print(m, flush=True))
+            print(
+                f"[sgg.train] eval probe every {cfg.train.eval_every} steps "
+                f"({probe.n_images} held-out images, "
+                f"recall@{probe.k})",
+                flush=True,
+            )
+
     profiler = None
     if args.profile:
         import os
@@ -331,6 +350,11 @@ def main(argv=None) -> int:
                 ips = scalars.get("images_per_sec_per_chip")
                 ips_s = f" img/s/chip={ips:.1f}" if ips else ""
                 print(f"[sgg.train] step {step}: {msg}{ips_s}", flush=True)
+            if probe and (
+                step % cfg.train.eval_every == 0
+                or step == cfg.train.total_steps
+            ):
+                logger.log(step, probe.run(state, step))
             at_ckpt = (
                 step % cfg.train.checkpoint_every == 0
                 or step == cfg.train.total_steps

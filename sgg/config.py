@@ -200,6 +200,16 @@ class TrainConfig:
     # (1.501→1.382 ms at the vg1k config); it also makes XLA's cost model
     # count every iteration, which the scanned form does not.
     critic_unroll: int = 8
+    # Periodic held-out evaluation inside the train loop: every eval_every
+    # steps, decode eval_samples draws/image for up to eval_images held-out
+    # images (EMA weights when tracked — what inference uses) and log
+    # recall@eval_k next to the train losses; the best value is tracked in
+    # workdir/best_eval.json. 0 = off (no extra compile, no device sync).
+    # Single-process runs only; see sgg/train/eval_probe.py.
+    eval_every: int = 0
+    eval_images: int = 256
+    eval_samples: int = 50
+    eval_k: int = 50
     log_every: int = 50
     checkpoint_every: int = 1000
     max_checkpoints: int = 3

@@ -317,3 +317,37 @@ def test_train_encoder_ckpt_and_finetune(tmp_path):
         "--encoder-ckpt", str(npz), "--steps", "1",
     ])
     assert rc == 1
+
+
+def test_train_with_eval_probe(tmp_path, capsys):
+    """In-loop held-out probe (train.eval_every): runs on schedule, logs
+    recall@k, and tracks the best step in workdir/best_eval.json."""
+    data = tmp_path / "data"
+    wd = tmp_path / "run"
+    assert cli_preprocess.main(
+        ["--out-dir", str(data), "--synthetic", "64",
+         "--regions", "9", "--feat-dim", "16"]
+    ) == 0
+    args = [
+        "--config", "smoke",
+        "--workdir", str(wd),
+        "--set", "data.source=shards",
+        "--set", f"data.data_dir={data}",
+        "--set", "data.regions=9",
+        "--set", "data.feat_dim=16",
+        "--set", "train.checkpoint_every=6",
+        "--set", "train.eval_every=3",
+        "--set", "train.eval_images=16",
+        "--set", "train.eval_samples=4",
+        "--set", "train.eval_k=20",
+        "--steps", "6",
+    ]
+    assert cli_train.main(args) == 0
+    out = capsys.readouterr().out
+    assert "eval step 3: recall@20" in out
+    assert "eval step 6: recall@20" in out
+    best = json.loads((wd / "best_eval.json").read_text())
+    assert best["k"] == 20 and best["step"] in (3, 6)
+    assert 0.0 <= best["recall"] <= 1.0
+    # eval_images caps at the held-out split size (64 × 0.1 ≈ 6 here)
+    assert 0 < best["images"] <= 16 and best["ema"] is False
