@@ -70,6 +70,13 @@ def main(argv=None) -> int:
                         "host-side: the adjustment re-ranks already-sampled "
                         "tokens, so extra values cost no device work "
                         "(ALPHA=0 = unadjusted logp)")
+    p.add_argument("--top-p", type=float, default=None,
+                   help="nucleus sampling: keep the smallest token set with "
+                        "cumulative probability >= p per decode step "
+                        "(tempered distribution; --decode xla only)")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="top-k sampling: keep only the k most likely tokens "
+                        "per decode step (0 = off; --decode xla only)")
     p.add_argument("--num-images", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--split", default="test", choices=["train", "test"])
@@ -133,6 +140,14 @@ def main(argv=None) -> int:
     kss = sorted({int(x) for x in
                   str(args.num_samples).split(",") if x.strip()}) or [100]
     n_draws = kss[-1]  # sample once at max K; smaller Ks are prefixes
+    if (args.top_k or args.top_p is not None) and args.decode == "fused":
+        print(
+            "[sgg.evaluate] --top-k/--top-p filter the sampling "
+            "distribution, which the fused kernel does not implement; use "
+            "--decode xla",
+            file=sys.stderr,
+        )
+        return 2
     if args.decode == "fused":
         if with_logp:
             print(
@@ -159,6 +174,7 @@ def main(argv=None) -> int:
         sampler = make_sampler(
             cfg, step_mask=vocab.step_mask(), num_samples=n_draws,
             tau=temps[0], with_logp=with_logp,
+            top_k=args.top_k or 0, top_p=args.top_p,
         )
     # End-to-end configs: encode features per batch through the
     # checkpoint's backbone (shared path with sgg.cli.generate).

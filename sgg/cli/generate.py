@@ -37,6 +37,14 @@ def main(argv=None) -> int:
                    help="sampling temperature: tokens ~ softmax(logits / T) "
                         "(default 1.0 = the model's own distribution). "
                         "Higher = more diverse triples, lower = mode-seeking")
+    p.add_argument("--top-p", type=float, default=None,
+                   help="nucleus sampling: keep the smallest token set with "
+                        "cumulative probability >= p at each decode step "
+                        "(applied to the tempered distribution; XLA decode "
+                        "only)")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="top-k sampling: keep only the k most likely tokens "
+                        "at each decode step (0 = off; XLA decode only)")
     p.add_argument("--rank", default="freq",
                    choices=["freq", "freq_logp", "logp"],
                    help="triple confidence order: sample frequency (freq, "
@@ -111,6 +119,15 @@ def main(argv=None) -> int:
 
     B = args.batch_size
     with_logp = args.rank != "freq"
+    filt = dict(top_k=args.top_k or 0, top_p=args.top_p)
+    if (filt["top_k"] or filt["top_p"] is not None) and args.decode == "fused":
+        print(
+            "[sgg.generate] --top-k/--top-p filter the sampling "
+            "distribution, which the fused kernel does not implement; use "
+            "--decode xla",
+            file=sys.stderr,
+        )
+        return 2
     if with_logp and args.decode == "fused":
         print(
             "[sgg.generate] --rank freq_logp/logp needs per-draw log-probs, "
@@ -139,7 +156,7 @@ def main(argv=None) -> int:
             sampler = make_indexed_sampler(
                 cfg, step_mask=vocab.step_mask(),
                 num_samples=args.num_samples, tau=args.temperature,
-                with_logp=with_logp,
+                with_logp=with_logp, **filt,
             )
     elif args.decode == "fused":
         sampler = make_fused_sampler(
@@ -149,7 +166,7 @@ def main(argv=None) -> int:
     else:
         sampler = make_sampler(
             cfg, step_mask=vocab.step_mask(), num_samples=args.num_samples,
-            tau=args.temperature, with_logp=with_logp,
+            tau=args.temperature, with_logp=with_logp, **filt,
         )
 
     # Pipeline dispatches: issue the sampler for batch i+1 before reading

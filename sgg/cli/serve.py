@@ -42,6 +42,13 @@ def main(argv=None) -> int:
     p.add_argument("--temperature", type=float, default=None,
                    help="sampling temperature: tokens ~ softmax(logits / T) "
                         "(default 1.0)")
+    p.add_argument("--top-p", type=float, default=None,
+                   help="nucleus sampling: keep the smallest token set with "
+                        "cumulative probability >= p per decode step "
+                        "(engine-wide; --workdir engines only)")
+    p.add_argument("--top-k", type=int, default=0,
+                   help="top-k sampling: keep only the k most likely tokens "
+                        "per decode step (0 = off; --workdir engines only)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", type=int, default=0,
                    help="shard each batch over this many chips "
@@ -82,6 +89,11 @@ def main(argv=None) -> int:
                   "(exported programs emit tokens, not log-probs)",
                   file=sys.stderr)
             return 2
+        if args.top_k or args.top_p is not None:
+            print("[sgg.serve] --top-k/--top-p need --workdir (exported "
+                  "programs bake their sampling distribution)",
+                  file=sys.stderr)
+            return 2
         engine = ArtifactEngine(args.artifact, seed=args.seed,
                                 batch_size=args.batch_size)
     else:
@@ -94,7 +106,7 @@ def main(argv=None) -> int:
             args.workdir, batch_size=args.batch_size,
             num_samples=args.num_samples, temperature=args.temperature,
             seed=args.seed, mesh=mesh, quant=args.quant, ema=args.ema,
-            rank=args.rank,
+            rank=args.rank, top_k=args.top_k or 0, top_p=args.top_p,
         )
     print(f"[sgg.serve] restored step {engine.step}; compiling batch "
           f"{engine.batch_size} × {engine.feature_shape} sampler…",

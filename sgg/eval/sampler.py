@@ -48,7 +48,8 @@ from sgg.data.vocab import Vocab
 from sgg.train.state import make_models
 
 
-def _sample_body(cfg, gen, mask, num_samples: int, with_logp: bool):
+def _sample_body(cfg, gen, mask, num_samples: int, with_logp: bool,
+                 top_k: int = 0, top_p: float | None = None):
     """Shared sampling body: (g_params, feats [B,R,F], rng, temp) → tokens.
 
     ``temp`` is a TRACED operand — scalar, or float32[B] for PER-ROW
@@ -74,6 +75,7 @@ def _sample_body(cfg, gen, mask, num_samples: int, with_logp: bool):
                 {"params": g_params}, feats, z, kg,
                 tau=1.0, hard=True, step_mask=mask,
                 detach_sample=with_logp, sample_temp=st,
+                sample_top_k=top_k, sample_top_p=top_p,
             )
             if with_logp:
                 return (out["tokens"].astype(jnp.int32),
@@ -93,6 +95,7 @@ def _sample_body(cfg, gen, mask, num_samples: int, with_logp: bool):
 def make_sampler(
     cfg: Config, step_mask=None, num_samples: int = 50,
     tau: float | None = None, with_logp: bool = False,
+    top_k: int = 0, top_p: float | None = None,
 ):
     """Build (g_params, feats [B,R,F], rng[, temp]) → tokens int32[B, K, 3].
 
@@ -111,7 +114,9 @@ def make_sampler(
     """
     gen, _ = make_models(cfg)
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
-    jitted = jax.jit(_sample_body(cfg, gen, mask, num_samples, with_logp))
+    jitted = jax.jit(
+        _sample_body(cfg, gen, mask, num_samples, with_logp, top_k, top_p)
+    )
     default = 1.0 if tau is None else float(tau)
 
     def sample(g_params, feats, rng, temp=None):
@@ -124,6 +129,7 @@ def make_sampler(
 def make_indexed_sampler(
     cfg: Config, step_mask=None, num_samples: int = 50,
     tau: float | None = None, with_logp: bool = False,
+    top_k: int = 0, top_p: float | None = None,
 ):
     """Device-resident variant: (g_params, feats_dev [N,R,F], idx i32[B],
     rng[, temp]) → tokens int32[B, K, 3], with the feature gather INSIDE
@@ -137,7 +143,7 @@ def make_indexed_sampler(
     """
     gen, _ = make_models(cfg)
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
-    body = _sample_body(cfg, gen, mask, num_samples, with_logp)
+    body = _sample_body(cfg, gen, mask, num_samples, with_logp, top_k, top_p)
 
     def indexed(g_params, feats_dev, idx, rng, temp):
         feats = jnp.take(feats_dev, idx, axis=0)  # [B, R, F] gather in HBM
@@ -157,6 +163,7 @@ def make_indexed_sampler(
 def make_dp_sampler(
     cfg: Config, mesh, step_mask=None, num_samples: int = 50,
     tau: float | None = None, with_logp: bool = False,
+    top_k: int = 0, top_p: float | None = None,
 ):
     """Data-parallel batch inference: (g_params, feats [B,R,F], rng[, temp])
     → tokens int32[B,K,3] with the image batch sharded over the mesh's
@@ -174,7 +181,7 @@ def make_dp_sampler(
 
     gen, _ = make_models(cfg)
     mask = None if step_mask is None else jnp.asarray(step_mask, bool)
-    body = _sample_body(cfg, gen, mask, num_samples, with_logp)
+    body = _sample_body(cfg, gen, mask, num_samples, with_logp, top_k, top_p)
 
     repl = replicated_sharding(mesh)
     batch = batch_sharding(mesh, leading_stacked=False)

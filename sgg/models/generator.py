@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from sgg.models.attention import AdditiveAttention
 from sgg.models.lstm import TF1LSTMCell
-from sgg.utils.gumbel import gumbel_softmax, sample_gumbel
+from sgg.utils.gumbel import gumbel_softmax, sample_gumbel, top_k_top_p_filter
 
 TRIPLE_LEN = 3  # (subject, predicate, object)
 
@@ -56,6 +56,8 @@ class AttentionLSTMGenerator(nn.Module):
         forced_tokens: jnp.ndarray | None = None,  # int32[B, 3]
         forced_steps: tuple = (),  # static: which steps to clamp
         sample_temp: float | jnp.ndarray | None = None,
+        sample_top_k: int = 0,  # static: keep k best tokens per step
+        sample_top_p: float | jnp.ndarray | None = None,
     ) -> dict[str, jnp.ndarray]:
         """Decode one triple per image.
 
@@ -67,6 +69,13 @@ class AttentionLSTMGenerator(nn.Module):
         ``hard=True`` forward pass emits (asserted in tests/unit/
         test_models.py). Reported ``log_prob`` is always the UNtempered
         (temp-1) model joint, the quantity ranking wants.
+
+        ``sample_top_k``/``sample_top_p`` filter each step's TEMPERED
+        sampling distribution (top-k truncation, then nucleus top-p —
+        sgg.utils.gumbel.top_k_top_p_filter) before the draw; the filters'
+        presence is static (off = zero extra ops), the p value is traced.
+        Like ``sample_temp`` they never touch the returned ``logits`` or
+        ``log_prob``. Inference knobs — training leaves both off.
 
         ``detach_sample=True`` is the score-function (REINFORCE) sampling
         mode: tokens are exact categorical draws via gumbel-max, the one-hot
@@ -140,6 +149,10 @@ class AttentionLSTMGenerator(nn.Module):
             rng, sub = jax.random.split(rng)
             logits32 = logits.astype(jnp.float32)
             samp32 = logits32 if sample_temp is None else logits32 / sample_temp
+            if sample_top_k or sample_top_p is not None:
+                samp32 = top_k_top_p_filter(
+                    samp32, sample_top_k, sample_top_p
+                )
             if t in forced_steps:
                 idx = forced_tokens[:, t]
                 y = jax.nn.one_hot(

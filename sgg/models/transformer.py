@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from sgg.models.generator import TRIPLE_LEN
-from sgg.utils.gumbel import gumbel_softmax, sample_gumbel
+from sgg.utils.gumbel import gumbel_softmax, sample_gumbel, top_k_top_p_filter
 
 
 class _CrossAttention(nn.Module):
@@ -65,6 +65,8 @@ class TransformerTripleGenerator(nn.Module):
         forced_tokens: jnp.ndarray | None = None,  # int32[B, 3]
         forced_steps: tuple = (),  # static: which slots to clamp
         sample_temp: float | jnp.ndarray | None = None,
+        sample_top_k: int = 0,  # static: keep k best tokens per slot
+        sample_top_p: float | jnp.ndarray | None = None,
     ) -> dict[str, jnp.ndarray]:
         # Interface parity with the LSTM decoder's conditional mode. The
         # slot decoder is NON-autoregressive: clamping a slot replaces its
@@ -126,6 +128,10 @@ class TransformerTripleGenerator(nn.Module):
         # Inference sampling temperature (tokens ~ softmax(logits / temp));
         # see AttentionLSTMGenerator.__call__ — log_prob stays untempered.
         samp32 = logits32 if sample_temp is None else logits32 / sample_temp
+        if sample_top_k or sample_top_p is not None:
+            # Top-k / nucleus truncation of the tempered per-slot
+            # distributions (see AttentionLSTMGenerator.__call__).
+            samp32 = top_k_top_p_filter(samp32, sample_top_k, sample_top_p)
 
         def clamp(y, idx):
             if not forced_steps:

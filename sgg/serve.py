@@ -176,7 +176,8 @@ class InferenceEngine:
     def __init__(self, cfg, vocab, state, *, batch_size: int = 32,
                  num_samples: int = 50, temperature: float | None = None,
                  seed: int = 0, mesh=None, quant: str | None = None,
-                 ema: bool = False, rank: str = "freq"):
+                 ema: bool = False, rank: str = "freq",
+                 top_k: int = 0, top_p: float | None = None):
         if quant is not None:  # CLI override of cfg.model.quant
             cfg.model.quant = "" if quant == "none" else quant
         self.cfg = cfg
@@ -220,13 +221,13 @@ class InferenceEngine:
             self._sampler = make_dp_sampler(
                 cfg, mesh, step_mask=vocab.step_mask(),
                 num_samples=self.num_samples, tau=temperature,
-                with_logp=self._with_logp,
+                with_logp=self._with_logp, top_k=top_k, top_p=top_p,
             )
         else:
             self._sampler = make_sampler(
                 cfg, step_mask=vocab.step_mask(),
                 num_samples=self.num_samples, tau=temperature,
-                with_logp=self._with_logp,
+                with_logp=self._with_logp, top_k=top_k, top_p=top_p,
             )
         self._rng = jax.random.key(seed)
         self._lock = threading.Lock()

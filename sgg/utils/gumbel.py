@@ -25,6 +25,40 @@ def sample_gumbel(rng: jax.Array, shape, dtype=jnp.float32) -> jnp.ndarray:
     return -jnp.log(-jnp.log(u))
 
 
+def top_k_top_p_filter(
+    logits: jnp.ndarray, top_k: int = 0, top_p=None
+) -> jnp.ndarray:
+    """Top-k / nucleus (top-p) logit filtering for sampling.
+
+    Convention (matches the common HF implementation): the filter applies
+    to the TEMPERED logits — pass ``logits / temp`` in; k first, then p.
+      - ``top_k`` (static int > 0): keep the k highest-logit tokens per row.
+      - ``top_p`` (scalar, may be traced, in (0, 1]): keep the smallest set
+        of tokens whose cumulative probability reaches p. The
+        highest-probability token always survives (its cumulative-before
+        mass is 0), so the distribution can never become empty.
+    Filtered tokens get -1e9 — the same convention the vocab step mask
+    uses, so already-masked tokens stay masked. Shape-static and traced-
+    value-friendly: presence of each filter is a compile-time branch, the
+    p VALUE is an ordinary operand.
+    """
+    neg = jnp.asarray(-1e9, logits.dtype)
+    if top_k:
+        kth = jnp.sort(logits, axis=-1)[..., -int(top_k), None]
+        logits = jnp.where(logits >= kth, logits, neg)
+    if top_p is not None:
+        sorted_desc = -jnp.sort(-logits, axis=-1)
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum_before = jnp.cumsum(probs, axis=-1) - probs
+        keep = cum_before < jnp.asarray(top_p, logits.dtype)
+        thresh = jnp.min(
+            jnp.where(keep, sorted_desc, jnp.asarray(jnp.inf, logits.dtype)),
+            axis=-1, keepdims=True,
+        )
+        logits = jnp.where(logits >= thresh, logits, neg)
+    return logits
+
+
 def gumbel_softmax(
     rng: jax.Array,
     logits: jnp.ndarray,

@@ -398,3 +398,107 @@ def test_rank_triples_predicate_logit_adjustment():
 
     with pytest.raises(ValueError):
         rank_triples(tokens, logp, rank="freq", pred_adjust=adj)
+
+
+def test_top_k_top_p_filter_semantics():
+    """Unit semantics of the nucleus/top-k logit filter."""
+    import jax.numpy as jnp
+
+    from sgg.utils.gumbel import top_k_top_p_filter
+
+    # probs [0.5, 0.3, 0.15, 0.05] (descending by construction)
+    probs = np.array([0.5, 0.3, 0.15, 0.05])
+    logits = jnp.asarray(np.log(probs), jnp.float32)[None, :]
+
+    # top_k=2 keeps exactly the 2 largest
+    out = np.asarray(top_k_top_p_filter(logits, top_k=2))
+    assert (out[0, :2] > -1e8).all() and (out[0, 2:] <= -1e8).all()
+
+    # nucleus p=0.5: smallest set reaching 0.5 is {token0}
+    out = np.asarray(top_k_top_p_filter(logits, top_p=0.5))
+    assert (out[0, 0] > -1e8) and (out[0, 1:] <= -1e8).all()
+    # p=0.51 needs token1 too
+    out = np.asarray(top_k_top_p_filter(logits, top_p=0.51))
+    assert (out[0, :2] > -1e8).all() and (out[0, 2:] <= -1e8).all()
+    # p=1.0 keeps everything (and leaves kept logits unchanged)
+    out = np.asarray(top_k_top_p_filter(logits, top_p=1.0))
+    np.testing.assert_allclose(out, np.asarray(logits), rtol=1e-6)
+
+    # already-masked tokens (-1e9, the step-mask convention) stay masked
+    masked = logits.at[0, 3].set(-1e9)
+    out = np.asarray(top_k_top_p_filter(masked, top_p=1.0))
+    assert out[0, 3] <= -1e8
+
+    # k first, then p: k=2 renormalizes to [0.625, 0.375]; p=0.6 keeps {0}
+    out = np.asarray(top_k_top_p_filter(logits, top_k=2, top_p=0.6))
+    assert (out[0, 0] > -1e8) and (out[0, 1:] <= -1e8).all()
+
+
+def test_sampler_top_k_one_is_greedy():
+    """top_k=1 collapses the per-draw sampling to greedy argmax of the
+    (z-conditioned) logits: for a FIXED noise vector the token is the
+    logits' argmax and the sampling rng is irrelevant — both decoder
+    families. (Across draws tokens still vary: z changes the logits.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from sgg.train.state import create_train_state, make_models
+
+    mask = _step_mask12()
+    for decoder in ("lstm", "transformer"):
+        cfg = _tiny_cfg(decoder)
+        state = create_train_state(cfg, jax.random.key(0))
+        gen, _ = make_models(cfg)
+        feats = jnp.asarray(
+            np.random.RandomState(0).randn(3, 4, 8), jnp.float32
+        )
+        z = jnp.asarray(
+            np.random.RandomState(1).randn(3, cfg.model.noise_dim),
+            jnp.float32,
+        )
+
+        def toks(rng_int, **kw):
+            out = gen.apply(
+                {"params": state.g_params}, feats, z,
+                jax.random.key(rng_int), tau=1.0, hard=True,
+                step_mask=mask, **kw,
+            )
+            return np.asarray(out["tokens"]), np.asarray(out["logits"])
+
+        t1, logits = toks(1, sample_top_k=1)
+        t2, _ = toks(2, sample_top_k=1)
+        np.testing.assert_array_equal(t1, t2)  # gumbel noise irrelevant
+        np.testing.assert_array_equal(t1, logits.argmax(-1))  # greedy
+        # without the filter, different rng keys DO change tokens
+        u1, _ = toks(1)
+        u2, _ = toks(2)
+        assert (u1 != u2).any(), decoder
+        legal = [set(np.where(mask[t])[0]) for t in range(3)]
+        for t in range(3):
+            assert set(t1[:, t].ravel()) <= legal[t], decoder
+
+
+def test_sampler_top_p_restricts_support():
+    """A tight nucleus must shrink the sampled support vs unfiltered
+    sampling at the same rng budget, and never emit illegal tokens."""
+    import jax
+
+    from sgg.eval import make_sampler
+    from sgg.train.state import create_train_state
+
+    cfg = _tiny_cfg()
+    mask = _step_mask12()
+    state = create_train_state(cfg, jax.random.key(0))
+    feats = np.random.RandomState(1).randn(2, 4, 8).astype(np.float32)
+    full = make_sampler(cfg, step_mask=mask, num_samples=64)
+    tight = make_sampler(cfg, step_mask=mask, num_samples=64, top_p=0.3)
+    tf = np.asarray(full(state.g_params, feats, jax.random.key(3)))
+    tt = np.asarray(tight(state.g_params, feats, jax.random.key(3)))
+    # per (image, step): nucleus support is a subset-or-equal, usually
+    # strictly smaller somewhere at an untrained (near-uniform) model
+    n_full = sum(len(set(tf[b, :, t])) for b in range(2) for t in range(3))
+    n_tight = sum(len(set(tt[b, :, t])) for b in range(2) for t in range(3))
+    assert n_tight < n_full
+    legal = [set(np.where(mask[t])[0]) for t in range(3)]
+    for t in range(3):
+        assert set(tt[:, :, t].ravel()) <= legal[t]
