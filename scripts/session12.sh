@@ -88,6 +88,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       --set train.log_every=200 --set train.checkpoint_every=2000 \
       --set data.rotation_min_steps=1000 \
       --set train.ema_decay=0.999 \
+      --set train.eval_every=5000 \
       --set train.host_rss_exit_gb=95
     rc=$?
     [ -d "$WD/checkpoints/$STEPS" ] && { rc=0; break; }
