@@ -85,6 +85,11 @@ def main(argv=None) -> int:
     p.add_argument("--ema", action="store_true",
                    help="sample from the EMA generator weights (requires a "
                         "run trained with train.ema_decay > 0)")
+    p.add_argument("--avg-last", type=int, default=0, metavar="N",
+                   help="tail-average (offline SWA) the generator weights "
+                        "over the last N retained checkpoints before "
+                        "sampling; composes with --ema (averages the EMA "
+                        "trajectory). 0/1 = latest checkpoint as-is")
     p.add_argument("--zero-shot", action="store_true",
                    help="also report zero-shot recall: recall over held-out "
                         "GT triples never seen in the training split")
@@ -111,7 +116,16 @@ def main(argv=None) -> int:
     n_images = min(args.num_images or len(ds), len(ds))
 
     state = create_train_state(cfg, jax.random.key(0))
-    restored = CheckpointManager(args.workdir, cfg).restore(state)
+    mgr = CheckpointManager(args.workdir, cfg)
+    if args.avg_last > 1:
+        restored = mgr.restore_averaged(state, args.avg_last)
+        if restored is not None:
+            n_avg = min(args.avg_last, len(mgr.all_steps()))
+            print(f"[sgg.evaluate] --avg-last: generator weights averaged "
+                  f"over {n_avg} checkpoints (steps {mgr.all_steps()[-n_avg:]})",
+                  flush=True)
+    else:
+        restored = mgr.restore(state)
     if restored is None:
         print(f"[sgg.evaluate] no checkpoint in {args.workdir}", file=sys.stderr)
         return 1
@@ -363,6 +377,7 @@ def main(argv=None) -> int:
                 "workdir": args.workdir, "split": args.split,
                 "images": int(n_images), "seed": args.seed,
                 "ema": bool(args.ema), "decode": args.decode,
+                "avg_last": int(args.avg_last),
                 "combos": list(records.values()),
             }, f, indent=2)
         print(f"[sgg.evaluate] wrote {args.json_out} "

@@ -16,6 +16,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import orbax.checkpoint as ocp
 from jax.tree_util import tree_flatten_with_path, tree_unflatten
 
@@ -143,12 +144,18 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
-    def restore(
-        self, abstract_state: GANTrainState, lenient: bool = True
-    ) -> GANTrainState | None:
-        """Restore latest checkpoint into the structure of ``abstract_state``.
+    def all_steps(self) -> list[int]:
+        """Retained checkpoint steps, ascending."""
+        return sorted(int(s) for s in self._mgr.all_steps())
 
-        With ``lenient`` (default), structure drift between the checkpoint
+    def restore(
+        self, abstract_state: GANTrainState, lenient: bool = True,
+        step: int | None = None,
+    ) -> GANTrainState | None:
+        """Restore a checkpoint into the structure of ``abstract_state``.
+
+        ``step`` selects a retained checkpoint (default: the latest). With
+        ``lenient`` (default), structure drift between the checkpoint
         and the current TrainState falls back to a field-by-field partial
         restore via ``merge_checkpoint``: leaves present in both trees with
         matching shapes load, fields added since the checkpoint was written
@@ -157,7 +164,8 @@ class CheckpointManager:
         initialized arrays (it does at every call site), since kept leaves
         pass through to the result.
         """
-        step = self._mgr.latest_step()
+        if step is None:
+            step = self._mgr.latest_step()
         if step is None:
             return None
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
@@ -177,6 +185,47 @@ class CheckpointManager:
             raw = self._mgr.restore(step)
             merged, _ = merge_checkpoint(raw, abstract_state)
             return merged
+
+    def restore_averaged(
+        self, abstract_state: GANTrainState, last_n: int,
+        lenient: bool = True,
+    ) -> GANTrainState | None:
+        """Latest state with GENERATOR weights tail-averaged over retained
+        checkpoints (offline SWA/Polyak: Izmailov et al. 2018 average late
+        SGD iterates for flatter minima; here the uniform mean of the last
+        ``last_n`` saved ``g_params`` — and ``g_ema`` when tracked — is an
+        eval-time alternative to in-loop EMA that needs no training-time
+        decision and composes with it: ``--avg-last N --ema`` averages the
+        EMA trajectory itself).
+
+        Everything except the averaged generator trees (critic, optimizer
+        states, step, rng, encoder) comes from the LATEST checkpoint.
+        Averaging runs in float32 on host and casts back per-leaf, so
+        bf16 runs don't accumulate rounding across the sum. Returns None
+        when no checkpoint exists; with one retained checkpoint this
+        degrades to plain :meth:`restore`.
+        """
+        steps = self.all_steps()[-max(1, int(last_n)):]
+        if not steps:
+            return None
+        states = [self.restore(abstract_state, lenient, step=s) for s in steps]
+        latest = states[-1]
+        if len(states) == 1:
+            return latest
+
+        def _mean(trees):
+            def leaf(*xs):
+                acc = np.mean(
+                    np.stack([np.asarray(x, np.float32) for x in xs], 0), 0
+                )
+                return jnp.asarray(acc.astype(np.asarray(xs[-1]).dtype))
+
+            return jax.tree.map(leaf, *trees)
+
+        out = latest.replace(g_params=_mean([s.g_params for s in states]))
+        if latest.g_ema is not None:
+            out = out.replace(g_ema=_mean([s.g_ema for s in states]))
+        return out
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

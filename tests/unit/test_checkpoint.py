@@ -192,3 +192,59 @@ def test_ema_checkpoint_roundtrip(tmp_path):
     )
     for a, b in zip(jax.tree.leaves(st.g_ema), jax.tree.leaves(restored.g_ema)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_averaged_tail_swa(tmp_path):
+    """restore_averaged: g_params (and g_ema) are the float32 mean of the
+    last-N retained checkpoints; everything else comes from the latest."""
+    cfg = _cfg()
+    cfg.train.ema_decay = 0.99
+    st = create_train_state(cfg, jax.random.key(0))
+    ck = CheckpointManager(str(tmp_path), cfg)
+    scales = [1.0, 2.0, 4.0]
+    for i, s in enumerate(scales):
+        ck.save(st.replace(
+            step=jnp.int32(i + 1),
+            g_params=jax.tree.map(lambda p, s=s: p * s, st.g_params),
+            g_ema=jax.tree.map(lambda p, s=s: p * (s + 1.0), st.g_params),
+            d_params=jax.tree.map(lambda p, s=s: p * s, st.d_params),
+        ))
+    ck.wait()
+
+    mgr = CheckpointManager(str(tmp_path), cfg)
+    assert mgr.all_steps() == [1, 2, 3]
+    avg = mgr.restore_averaged(create_train_state(cfg, jax.random.key(7)), 2)
+    # mean of the last two scales for g_params / g_ema ...
+    for base, got in zip(jax.tree.leaves(st.g_params), jax.tree.leaves(avg.g_params)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base) * np.mean(scales[-2:]),
+            rtol=1e-6,
+        )
+    for base, got in zip(jax.tree.leaves(st.g_params), jax.tree.leaves(avg.g_ema)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base) * (np.mean(scales[-2:]) + 1.0),
+            rtol=1e-6,
+        )
+    # ... while the critic and step are the LATEST checkpoint's, untouched.
+    assert int(avg.step) == 3
+    for base, got in zip(jax.tree.leaves(st.d_params), jax.tree.leaves(avg.d_params)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(base) * scales[-1])
+    # dtypes survive the float32 averaging round-trip
+    for a, b in zip(jax.tree.leaves(st.g_params), jax.tree.leaves(avg.g_params)):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+
+
+def test_restore_averaged_degenerate_cases(tmp_path):
+    """N=1 (or a single retained checkpoint) degrades to plain restore;
+    an empty workdir returns None."""
+    cfg = _cfg()
+    mgr = CheckpointManager(str(tmp_path), cfg)
+    st = create_train_state(cfg, jax.random.key(0))
+    assert mgr.restore_averaged(st, 3) is None
+    mgr.save(st.replace(step=jnp.int32(9)))
+    mgr.wait()
+    one = mgr.restore_averaged(create_train_state(cfg, jax.random.key(2)), 5)
+    assert int(one.step) == 9
+    assert one.g_ema is None
+    for a, b in zip(jax.tree.leaves(st.g_params), jax.tree.leaves(one.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
