@@ -61,6 +61,22 @@ else
   log "stage A: skipped (done)"
 fi
 
+if [ ! -f "$D/swa_ab.done" ]; then
+  log "stage C: offline SWA A/B (--avg-last 3 over the retained tail vs"
+  log "  the stage-0 EMA-only baseline at the same 4096-image protocol)"
+  if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
+      --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
+      --avg-last 3 --ema --json-out "$D/sweep_swa.json" \
+      --platform axon; then
+    touch "$D/swa_ab.done"
+  else
+    log "stage C FAILED (continuing; re-run in a later session)"
+  fi
+  sleep 90
+else
+  log "stage C: skipped (done)"
+fi
+
 if [ ! -f "$D/ksat_ab.done" ]; then
   log "stage B: num-samples saturation curve (ONE process: draws are iid,"
   log "  smaller Ks are prefixes of the K=200 pass — same noise across Ks)"
