@@ -46,6 +46,7 @@ while :; do
     --set train.ema_decay=0.999 \
     --set "data.predicate_balance=$ALPHA" \
     --set train.eval_every=5000 \
+    --set train.max_checkpoints=6 \
     --set train.host_rss_exit_gb=95
   rc=$?
   # Relay client can SIGABRT in C++ teardown AFTER a completed run; judge

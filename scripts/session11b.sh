@@ -62,11 +62,13 @@ else
 fi
 
 if [ ! -f "$D/swa_ab.done" ]; then
-  log "stage C: offline SWA A/B (--avg-last 3 over the retained tail vs"
-  log "  the stage-0 EMA-only baseline at the same 4096-image protocol)"
+  log "stage C: offline SWA A/B (--avg-last 5 over the retained tail —"
+  log "  train.max_checkpoints=6, every 2000 steps, so the window spans"
+  log "  8k steps — vs the stage-0 EMA-only baseline, same 4096-image"
+  log "  protocol)"
   if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
       --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
-      --avg-last 3 --ema --json-out "$D/sweep_swa.json" \
+      --avg-last 5 --ema --json-out "$D/sweep_swa.json" \
       --platform axon; then
     touch "$D/swa_ab.done"
   else
