@@ -57,14 +57,22 @@ class SceneGraphGenerator:
     def from_workdir(
         cls, workdir: str, num_samples: int = 50, seed: int = 0,
         temperature: float | None = None, rank: str = "freq",
+        avg_last: int = 0,
     ) -> "SceneGraphGenerator":
         """``temperature``: tokens ~ softmax(logits/T), default 1.0.
         ``rank``: triple confidence order — 'freq' (sample count),
-        'freq_logp', or 'logp' (see :func:`sgg.eval.rank_triples`)."""
+        'freq_logp', or 'logp' (see :func:`sgg.eval.rank_triples`).
+        ``avg_last`` > 1: offline-SWA tail average of the last N retained
+        checkpoints' generator weights
+        (:meth:`CheckpointManager.restore_averaged`)."""
         cfg, vocab = load_workdir(workdir)
         cfg.model.vocab_size = len(vocab)
         state = create_train_state(cfg, jax.random.key(0))
-        restored = CheckpointManager(workdir, cfg).restore(state)
+        mgr = CheckpointManager(workdir, cfg)
+        if avg_last > 1:
+            restored = mgr.restore_averaged(state, avg_last)
+        else:
+            restored = mgr.restore(state)
         if restored is None:
             raise FileNotFoundError(f"no checkpoint in {workdir}")
         return cls(cfg, vocab, restored, num_samples=num_samples, seed=seed,

@@ -53,6 +53,10 @@ def main(argv=None) -> int:
     p.add_argument("--ema", action="store_true",
                    help="bake the EMA generator weights into the artifact "
                         "(requires a run trained with train.ema_decay > 0)")
+    p.add_argument("--avg-last", type=int, default=0, metavar="N",
+                   help="bake the tail-average (offline SWA) of the last N "
+                        "retained checkpoints' generator weights; composes "
+                        "with --ema (see sgg.cli.evaluate --avg-last)")
     p.add_argument("--seed", type=int, default=0)
     add_platform_arg(p)
     args = p.parse_args(argv)
@@ -63,7 +67,11 @@ def main(argv=None) -> int:
     cfg, vocab = load_workdir(args.workdir)
     cfg.model.vocab_size = len(vocab)
     state = create_train_state(cfg, jax.random.key(0))
-    restored = CheckpointManager(args.workdir, cfg).restore(state)
+    mgr = CheckpointManager(args.workdir, cfg)
+    if args.avg_last > 1:
+        restored = mgr.restore_averaged(state, args.avg_last)
+    else:
+        restored = mgr.restore(state)
     if restored is None:
         print(f"[sgg.export] no checkpoint in {args.workdir}", file=sys.stderr)
         return 1

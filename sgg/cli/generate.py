@@ -68,6 +68,10 @@ def main(argv=None) -> int:
     p.add_argument("--ema", action="store_true",
                    help="sample from the EMA generator weights (requires a "
                         "run trained with train.ema_decay > 0)")
+    p.add_argument("--avg-last", type=int, default=0, metavar="N",
+                   help="tail-average (offline SWA) the generator weights "
+                        "over the last N retained checkpoints; composes "
+                        "with --ema (see sgg.cli.evaluate --avg-last)")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -79,12 +83,18 @@ def main(argv=None) -> int:
 
     state = create_train_state(cfg, jax.random.key(0))
     ckpt = CheckpointManager(args.workdir, cfg)
-    restored = ckpt.restore(state)
+    if args.avg_last > 1:
+        restored = ckpt.restore_averaged(state, args.avg_last)
+    else:
+        restored = ckpt.restore(state)
     if restored is None:
         print(f"[sgg.generate] no checkpoint in {args.workdir}", file=sys.stderr)
         return 1
     state = restored
-    print(f"[sgg.generate] restored step {int(state.step)}", flush=True)
+    avg_s = (f" (generator averaged over last "
+             f"{min(args.avg_last, len(ckpt.all_steps()))} checkpoints)"
+             if args.avg_last > 1 else "")
+    print(f"[sgg.generate] restored step {int(state.step)}{avg_s}", flush=True)
     g_params = state.g_params
     if args.ema:
         if state.g_ema is None:

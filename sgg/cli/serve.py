@@ -56,6 +56,10 @@ def main(argv=None) -> int:
     p.add_argument("--quant", default=None, choices=["none", "int8"],
                    help="encoder PTQ mode (overrides cfg.model.quant): int8 "
                         "runs the backbone s8×s8→s32 on the MXU")
+    p.add_argument("--avg-last", type=int, default=0, metavar="N",
+                   help="serve the tail-average (offline SWA) of the last N "
+                        "retained checkpoints' generator weights; composes "
+                        "with --ema (see sgg.cli.evaluate --avg-last)")
     p.add_argument("--ema", action="store_true",
                    help="serve the EMA generator weights (requires a run "
                         "trained with train.ema_decay > 0)")
@@ -107,6 +111,7 @@ def main(argv=None) -> int:
             num_samples=args.num_samples, temperature=args.temperature,
             seed=args.seed, mesh=mesh, quant=args.quant, ema=args.ema,
             rank=args.rank, top_k=args.top_k or 0, top_p=args.top_p,
+            avg_last=args.avg_last,
         )
     print(f"[sgg.serve] restored step {engine.step}; compiling batch "
           f"{engine.batch_size} × {engine.feature_shape} sampler…",

@@ -253,11 +253,20 @@ class InferenceEngine:
             self._encode = encode
 
     @classmethod
-    def from_workdir(cls, workdir: str, **kw) -> "InferenceEngine":
+    def from_workdir(
+        cls, workdir: str, avg_last: int = 0, **kw
+    ) -> "InferenceEngine":
+        """``avg_last`` > 1 serves the offline-SWA tail average of the last
+        N retained checkpoints' generator weights (composes with ema=True;
+        see ``CheckpointManager.restore_averaged``)."""
         cfg, vocab = load_workdir(workdir)
         cfg.model.vocab_size = len(vocab)
         state = create_train_state(cfg, jax.random.key(0))
-        restored = CheckpointManager(workdir, cfg).restore(state)
+        mgr = CheckpointManager(workdir, cfg)
+        if avg_last > 1:
+            restored = mgr.restore_averaged(state, avg_last)
+        else:
+            restored = mgr.restore(state)
         if restored is None:
             raise FileNotFoundError(f"no checkpoint in {workdir}")
         return cls(cfg, vocab, restored, **kw)
