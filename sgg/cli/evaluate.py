@@ -101,6 +101,12 @@ def main(argv=None) -> int:
     p.add_argument("--predcls-samples", type=int, default=16,
                    help="noise draws mixture-averaged per PredCls row")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bootstrap", type=int, default=0, metavar="N",
+                   help="also report 95%% percentile-bootstrap confidence "
+                        "intervals for each recall@k (N replicates "
+                        "resampling IMAGES with replacement — the i.i.d. "
+                        "unit of the macro average; milliseconds of host "
+                        "work, no extra sampling)")
     p.add_argument("--json-out", default=None, metavar="PATH",
                    help="also write the full (temperature x K x rank x "
                         "alpha) result grid as one JSON file — one record "
@@ -300,6 +306,25 @@ def main(argv=None) -> int:
             f"samples/image={ksamp} {rep}",
             flush=True,
         )
+        if args.bootstrap > 0:
+            from sgg.eval import corpus_recall_bootstrap
+
+            cis = corpus_recall_bootstrap(
+                gen_triples, gt_triples, ks,
+                n_boot=args.bootstrap, seed=args.seed,
+            )
+            rec["recall_ci95"] = {
+                str(k): [cis[k][1], cis[k][2]] for k in ks
+            }
+            rep = " ".join(
+                f"recall@{k} ∈ [{cis[k][1]:.4f}, {cis[k][2]:.4f}]"
+                for k in ks
+            )
+            print(
+                f"[sgg.evaluate]{tag} bootstrap 95% CI "
+                f"({args.bootstrap} replicates over images): {rep}",
+                flush=True,
+            )
         if seen is not None:
             zs, n_zs = corpus_zero_shot_recall(gen_triples, gt_triples,
                                                seen, ks)

@@ -18,6 +18,7 @@ from sgg.eval.sampler import (
 from sgg.eval.recall import (
     corpus_mean_recall,
     corpus_recall,
+    corpus_recall_bootstrap,
     corpus_recall_multi,
     corpus_zero_shot_recall,
     predicate_recall,
@@ -35,6 +36,7 @@ __all__ = [
     "rank_triples",
     "recall_at_k",
     "corpus_recall",
+    "corpus_recall_bootstrap",
     "corpus_recall_multi",
     "corpus_mean_recall",
     "corpus_zero_shot_recall",

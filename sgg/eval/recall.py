@@ -90,6 +90,59 @@ def corpus_recall_multi(
     return {k: sums[k] / n for k in ks}
 
 
+def corpus_recall_bootstrap(
+    per_image_generated: list, per_image_gt: list, ks: list[int],
+    n_boot: int = 1000, seed: int = 0, alpha: float = 0.05,
+) -> dict[int, tuple[float, float, float]]:
+    """Percentile-bootstrap confidence intervals for macro recall@k.
+
+    Resamples IMAGES with replacement (the i.i.d. unit of the macro
+    average) ``n_boot`` times and returns ``{k: (point, lo, hi)}`` where
+    ``point`` is the plain macro recall (identical weighting to
+    :func:`corpus_recall_multi`: images with empty GT contribute 0 and
+    stay in the denominator) and ``[lo, hi]`` is the central
+    ``1 - alpha`` percentile interval. Per-image recalls are computed
+    ONCE (one dedup pass at max(ks), as everywhere else); the resampling
+    is a [n_boot, n] integer gather + mean, so even 10k replicates are
+    milliseconds — evaluation cost stays sampling-bound. Deterministic
+    in ``seed``.
+
+    Why images and not triples: recall@k is macro-averaged per image, so
+    corpus-level uncertainty is driven by which images are in the eval
+    set; a triple-level bootstrap would understate it (triples within an
+    image share the same generated ranking).
+    """
+    n = len(per_image_gt)
+    if n == 0 or not ks:
+        return {k: (0.0, 0.0, 0.0) for k in ks}
+    kmax = max(ks)
+    vals = {k: np.zeros(n, np.float64) for k in ks}
+    for i, (gen, gt_list) in enumerate(
+        zip(per_image_generated, per_image_gt)
+    ):
+        gt = {tuple(int(x) for x in t)
+              for t in np.asarray(gt_list).reshape(-1, 3)}
+        if not gt:
+            continue
+        top = _dedup_top(gen, kmax)
+        cum = np.cumsum([t in gt for t in top]) if top else np.zeros(0)
+        for k in ks:
+            hits = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+            vals[k][i] = hits / len(gt)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(int(n_boot), n))
+    lo_q, hi_q = 100.0 * (alpha / 2), 100.0 * (1 - alpha / 2)
+    out = {}
+    for k in ks:
+        reps = vals[k][idx].mean(axis=1)
+        out[k] = (
+            float(vals[k].mean()),
+            float(np.percentile(reps, lo_q)),
+            float(np.percentile(reps, hi_q)),
+        )
+    return out
+
+
 def corpus_zero_shot_recall(
     per_image_generated: list,
     per_image_gt: list,

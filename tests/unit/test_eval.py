@@ -502,3 +502,47 @@ def test_sampler_top_p_restricts_support():
     legal = [set(np.where(mask[t])[0]) for t in range(3)]
     for t in range(3):
         assert set(tt[:, :, t].ravel()) <= legal[t]
+
+
+def test_corpus_recall_bootstrap_point_and_interval():
+    """Point estimate matches corpus_recall_multi exactly; the percentile
+    interval brackets it, is deterministic in seed, and collapses to zero
+    width when every image has identical recall."""
+    from sgg.eval import corpus_recall_bootstrap, corpus_recall_multi
+
+    # 40 images: half fully recovered, half fully missed at k=2.
+    hit = [[(1, 2, 3)], [(9, 9, 9)]]
+    gen_hit = [(1, 2, 3), (4, 5, 6)]
+    gen_miss = [(7, 7, 7), (8, 8, 8)]
+    gen = [gen_hit] * 20 + [gen_miss] * 20
+    gt = [hit[0]] * 20 + [hit[1]] * 20
+    ks = [1, 2]
+    cis = corpus_recall_bootstrap(gen, gt, ks, n_boot=2000, seed=0)
+    point = corpus_recall_multi(gen, gt, ks)
+    for k in ks:
+        p, lo, hi = cis[k]
+        assert p == point[k] == 0.5
+        assert lo <= p <= hi
+        # Binomial-ish spread for n=40, p=0.5: sd ≈ 0.079 → 95% CI well
+        # inside [0.3, 0.7] but not degenerate.
+        assert 0.25 < lo < 0.48 and 0.52 < hi < 0.75
+    again = corpus_recall_bootstrap(gen, gt, ks, n_boot=2000, seed=0)
+    assert again == cis  # deterministic in seed
+
+    # Identical images -> zero-width interval at the point value.
+    cis_const = corpus_recall_bootstrap(
+        [gen_hit] * 10, [hit[0]] * 10, [2], n_boot=200, seed=0
+    )
+    assert cis_const[2] == (1.0, 1.0, 1.0)
+
+
+def test_corpus_recall_bootstrap_empty_gt_weighting():
+    """Images with empty GT stay in the denominator as zeros — the same
+    weighting corpus_recall_multi uses — and empty corpora don't crash."""
+    from sgg.eval import corpus_recall_bootstrap, corpus_recall_multi
+
+    gen = [[(1, 2, 3)], [(1, 2, 3)]]
+    gt = [[(1, 2, 3)], []]  # second image: no GT
+    cis = corpus_recall_bootstrap(gen, gt, [1], n_boot=500, seed=3)
+    assert cis[1][0] == corpus_recall_multi(gen, gt, [1])[1] == 0.5
+    assert corpus_recall_bootstrap([], [], [1], n_boot=10) == {1: (0.0, 0.0, 0.0)}
