@@ -35,6 +35,7 @@ if [ ! -f "$D/ranktemp_ab.done" ]; then
   if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
       --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
       --rank freq,freq_logp,logp --temperature 0.7,1.0,1.3 --ema \
+      --bootstrap 2000 \
       --json-out "$D/sweep_ranktemp.json" --platform axon; then
     touch "$D/ranktemp_ab.done"
   else
@@ -51,6 +52,7 @@ if [ ! -f "$D/adjust_ab.done" ]; then
   if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
       --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
       --rank logp --predicate-adjust 0,0.25,0.5,1.0 --per-predicate --ema \
+      --bootstrap 2000 \
       --json-out "$D/sweep_adjust.json" --platform axon; then
     touch "$D/adjust_ab.done"
   else
@@ -68,7 +70,7 @@ if [ ! -f "$D/swa_ab.done" ]; then
   log "  protocol)"
   if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
       --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
-      --avg-last 5 --ema --json-out "$D/sweep_swa.json" \
+      --avg-last 5 --ema --bootstrap 2000 --json-out "$D/sweep_swa.json" \
       --platform axon; then
     touch "$D/swa_ab.done"
   else
@@ -84,7 +86,7 @@ if [ ! -f "$D/ksat_ab.done" ]; then
   log "  smaller Ks are prefixes of the K=200 pass — same noise across Ks)"
   if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
       --k 20,50,100 --num-samples 25,50,100,200 --batch-size 256 \
-      --num-images 4096 --ema --json-out "$D/sweep_ksat.json" \
+      --num-images 4096 --ema --bootstrap 2000 --json-out "$D/sweep_ksat.json" \
       --platform axon; then
     touch "$D/ksat_ab.done"
   else
