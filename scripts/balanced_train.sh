@@ -62,9 +62,11 @@ sleep 90
 log "eval: raw + EMA, held-out, zero-shot + per-predicate"
 python -m sgg.cli.evaluate --workdir "$WD" --split test \
   --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
+  --bootstrap 2000 \
   --per-predicate --platform axon || exit 1
 sleep 90
 python -m sgg.cli.evaluate --workdir "$WD" --split test \
   --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
+  --bootstrap 2000 \
   --per-predicate --ema --platform axon || exit 1
 log "done"
