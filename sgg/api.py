@@ -45,6 +45,7 @@ class SceneGraphGenerator:
                 moe_experts=cfg.model.moe_experts,
                 moe_top_k=cfg.model.moe_top_k,
                 quant=cfg.model.quant,
+                vit_dims=cfg.model.vit_dims,
             )
 
             @jax.jit

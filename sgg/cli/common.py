@@ -242,6 +242,7 @@ def make_batch_features(cfg: Config, ds, enc_params, quant: str | None = None):
         moe_experts=cfg.model.moe_experts,
         moe_top_k=cfg.model.moe_top_k,
         quant=cfg.model.quant if quant is None else quant,
+        vit_dims=cfg.model.vit_dims,
     )
 
     @jax.jit

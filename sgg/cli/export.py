@@ -134,6 +134,7 @@ def main(argv=None) -> int:
                 cfg.model.encoder, dtype=cfg.model.dtype,
                 image_size=s, moe_experts=cfg.model.moe_experts,
                 moe_top_k=cfg.model.moe_top_k, quant=quant,
+                vit_dims=cfg.model.vit_dims,
             )
             feats = enc.apply(f32(state.enc_params),
                               normalize_for(cfg.model.encoder, x))

@@ -188,6 +188,7 @@ def main(argv=None) -> int:
 
     params = None
     enc_name, image_size = "vgg19", 224
+    vit_dims, moe_experts, moe_top_k = (768, 12, 12), 0, 2
     if args.vgg_weights:
         from sgg.models.vgg import load_npy_weights
 
@@ -207,6 +208,9 @@ def main(argv=None) -> int:
                     meta = json.load(f)
                 enc_name = meta.get("encoder", enc_name)
                 image_size = int(meta.get("image_size", image_size))
+                vit_dims = tuple(meta.get("vit_dims", vit_dims))
+                moe_experts = int(meta.get("moe_experts", moe_experts))
+                moe_top_k = int(meta.get("moe_top_k", moe_top_k))
             ckpt = os.path.join(ckpt, "encoder_params.npz")
         params = {"params": load_params_npz(ckpt)}
         print(
@@ -229,6 +233,7 @@ def main(argv=None) -> int:
             shard_size=args.shard_size, encoder_params=params,
             batch_size=args.batch_size, image_size=image_size,
             feat_dtype=np.dtype(args.feat_dtype),
+            vit_dims=vit_dims, moe_experts=moe_experts, moe_top_k=moe_top_k,
         )
         print(f"[sgg.preprocess] {split_name}: {stats}", flush=True)
     return 0

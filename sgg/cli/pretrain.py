@@ -67,6 +67,14 @@ def main(argv=None) -> int:
                         "which geometric predicates need. auto = on iff the "
                         "relationships carry boxes")
     p.add_argument("--spatial-weight", type=float, default=1.0)
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="vit_b16 only: swap each block's MLP for a top-k "
+                        "MoE layer with this many experts (sgg.models.moe; "
+                        "Switch aux loss applied at 0.01)")
+    p.add_argument("--moe-top-k", type=int, default=2)
+    p.add_argument("--vit-dims", default="768,12,12",
+                   help="vit_b16 only: embed_dim,layers,heads "
+                        "(default true B/16)")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -181,7 +189,9 @@ def main(argv=None) -> int:
     model, params, opt_state, tx = make_pretrain_state(
         args.encoder, len(vocab), image_size=args.image_size, lr=args.lr,
         use_pallas=jax.default_backend() == "tpu", dtype=dtype,
-        seed=args.seed,
+        seed=args.seed, moe_experts=args.moe_experts,
+        moe_top_k=args.moe_top_k,
+        vit_dims=tuple(int(v) for v in args.vit_dims.split(",")),
     )
     step_fn = make_pretrain_step(
         model, tx, args.batch_size, seed=args.seed, spatial=spatial,
@@ -234,6 +244,9 @@ def main(argv=None) -> int:
             {
                 "encoder": args.encoder,
                 "image_size": args.image_size,
+                "vit_dims": [int(v) for v in args.vit_dims.split(",")],
+                "moe_experts": args.moe_experts,
+                "moe_top_k": args.moe_top_k,
                 "steps": args.steps,
                 "train_images": n,
                 "spatial": spatial,

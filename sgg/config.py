@@ -55,6 +55,14 @@ class ModelConfig:
     # expert-parallel over the 'expert' axis (sgg.dist.expert_parallel).
     moe_experts: int = 0
     moe_top_k: int = 2
+    # ViT architecture dims (encoder == 'vit_b16' only). Defaults are the
+    # true B/16 (768/12/12); shrink for smoke configs, the driver's
+    # dryrun_multichip (compile cost on a CPU mesh scales with depth×width,
+    # and the collectives being certified are dimension-independent), and
+    # budget MoE runs. data.feat_dim must equal vit_dim for these configs.
+    vit_dim: int = 768
+    vit_layers: int = 12
+    vit_heads: int = 12
     # INFERENCE-ONLY dynamic int8 PTQ for the encoder ('' | 'int8').
     # Honored by generate/evaluate/serve/api when building the backbone
     # (sgg.kernels.quant: s8×s8→s32 on the MXU, 2× bf16 peak on v5e);
@@ -64,6 +72,11 @@ class ModelConfig:
     @property
     def dtype(self):
         return _DTYPES[self.compute_dtype]
+
+    @property
+    def vit_dims(self) -> tuple[int, int, int]:
+        """(embed_dim, num_layers, num_heads) for the ViT encoder."""
+        return (self.vit_dim, self.vit_layers, self.vit_heads)
 
 
 @dataclass

@@ -78,6 +78,9 @@ def extract_features(
     use_pallas: bool | None = None,
     dtype=jnp.float32,
     seed: int = 0,
+    vit_dims: tuple = (768, 12, 12),
+    moe_experts: int = 0,
+    moe_top_k: int = 2,
 ) -> np.ndarray:
     """Batched jitted extraction → float32 [N, R, F].
 
@@ -88,7 +91,8 @@ def extract_features(
         use_pallas = jax.default_backend() == "tpu"
     enc = make_encoder(
         encoder_name, use_pallas=use_pallas, dtype=dtype,
-        image_size=image_size,
+        image_size=image_size, vit_dims=vit_dims,
+        moe_experts=moe_experts, moe_top_k=moe_top_k,
     )
     if enc is None:
         raise ValueError("encoder 'precomputed' cannot extract features")
@@ -135,6 +139,9 @@ def extract_to_shards(
     feat_dtype=jnp.float32,
     seed: int = 0,
     log_every: int = 50,
+    vit_dims: tuple = (768, 12, 12),
+    moe_experts: int = 0,
+    moe_top_k: int = 2,
 ) -> dict:
     """Streaming extraction: images → encoder → shards, O(shard) host memory.
 
@@ -157,7 +164,8 @@ def extract_to_shards(
         use_pallas = jax.default_backend() == "tpu"
     enc = make_encoder(
         encoder_name, use_pallas=use_pallas, dtype=dtype,
-        image_size=image_size,
+        image_size=image_size, vit_dims=vit_dims,
+        moe_experts=moe_experts, moe_top_k=moe_top_k,
     )
     if enc is None:
         raise ValueError("encoder 'precomputed' cannot extract features")

@@ -105,6 +105,7 @@ def export_sampler(
             image_size=cfg.data.image_size,
             moe_experts=cfg.model.moe_experts,
             moe_top_k=cfg.model.moe_top_k, quant=quant,
+            vit_dims=cfg.model.vit_dims,
         )
         params_flat, treedef = jax.tree.flatten(
             (f32(enc_params), f32(g_params))

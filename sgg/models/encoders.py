@@ -35,6 +35,7 @@ def make_encoder(
     moe_top_k: int = 2,
     moe_ep_mesh=None,
     quant: str = "",
+    vit_dims: tuple[int, int, int] = (768, 12, 12),
 ) -> nn.Module | None:
     """Returns the feature-extractor module, or None for 'precomputed'.
 
@@ -47,6 +48,8 @@ def make_encoder(
     (sgg.kernels.quant): VGG/ResNet convs and ViT block projections run
     s8×s8→s32 on the MXU (2× bf16 peak on v5e). Inference only — do not
     train through it.
+    ``vit_dims`` (ViT only): (embed_dim, num_layers, num_heads) — the
+    ModelConfig.vit_dims property; (768, 12, 12) is the true B/16.
     """
     if quant not in ("", "int8"):
         raise ValueError(f"unknown quant mode {quant!r} (want '' or 'int8')")
@@ -75,10 +78,12 @@ def make_encoder(
 
             dot_general = int8_dot_general
         patches = ((image_size or 224) // 16) ** 2
+        dim, layers, heads = vit_dims
         return ViTB16Features(
             use_pallas=use_pallas, dtype=dtype, attn_fn=attn_fn,
             num_patches=patches, moe_experts=moe_experts,
             moe_top_k=moe_top_k, moe_ep_mesh=moe_ep_mesh,
             dot_general=dot_general,
+            embed_dim=dim, num_layers=layers, num_heads=heads,
         )
     raise ValueError(f"unknown encoder {name!r}")

@@ -242,6 +242,7 @@ class InferenceEngine:
                 moe_experts=cfg.model.moe_experts,
                 moe_top_k=cfg.model.moe_top_k,
                 quant=cfg.model.quant,
+                vit_dims=cfg.model.vit_dims,
             )
             self._enc_params = jax.tree.map(jnp.asarray, state.enc_params)
 

@@ -67,6 +67,7 @@ class EvalProbe:
                 moe_experts=cfg.model.moe_experts,
                 moe_top_k=cfg.model.moe_top_k,
                 quant=cfg.model.quant,
+                vit_dims=cfg.model.vit_dims,
             )
 
             @jax.jit

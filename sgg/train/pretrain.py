@@ -68,12 +68,13 @@ class PresenceModel(nn.Module):
     image_size: int = 224
     moe_experts: int = 0  # vit_b16 only: MoE MLP blocks (sgg.models.moe)
     moe_top_k: int = 2
+    vit_dims: tuple = (768, 12, 12)  # vit_b16 only: (dim, layers, heads)
 
     def setup(self):
         self.encoder = make_encoder(
             self.encoder_name, use_pallas=self.use_pallas, dtype=self.dtype,
             image_size=self.image_size, moe_experts=self.moe_experts,
-            moe_top_k=self.moe_top_k,
+            moe_top_k=self.moe_top_k, vit_dims=self.vit_dims,
         )
         self.head = PresenceHead(self.num_classes, dtype=self.dtype)
 
@@ -151,12 +152,13 @@ def make_pretrain_state(
     seed: int = 0,
     moe_experts: int = 0,
     moe_top_k: int = 2,
+    vit_dims: tuple = (768, 12, 12),
 ):
     """Returns (model, params, opt_state, tx)."""
     model = PresenceModel(
         encoder_name=encoder_name, num_classes=vocab_size,
         use_pallas=use_pallas, dtype=dtype, image_size=image_size,
-        moe_experts=moe_experts, moe_top_k=moe_top_k,
+        moe_experts=moe_experts, moe_top_k=moe_top_k, vit_dims=vit_dims,
     )
     sample = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
     params = model.init(jax.random.key(seed), sample)["params"]

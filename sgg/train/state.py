@@ -162,6 +162,7 @@ def create_train_state(
         cfg.model.encoder, dtype=cfg.model.dtype,
         image_size=cfg.data.image_size,
         moe_experts=cfg.model.moe_experts, moe_top_k=cfg.model.moe_top_k,
+        vit_dims=cfg.model.vit_dims,
     )
     if encoder is not None and enc_params is None:
         img = jnp.zeros(

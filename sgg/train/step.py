@@ -167,6 +167,7 @@ def make_step_fn(
         image_size=cfg.data.image_size,
         moe_experts=cfg.model.moe_experts, moe_top_k=cfg.model.moe_top_k,
         moe_ep_mesh=moe_ep_mesh,
+        vit_dims=cfg.model.vit_dims,
     )
     train_enc = bool(cfg.train.train_encoder)
     if train_enc:
