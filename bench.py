@@ -5,8 +5,14 @@ config ([B:7]: 196×512 precomputed features, batch 32, n_critic 5) using the
 fused WGAN-GP train step, on whatever platform JAX selects (the real TPU
 chip under the driver).
 
-Prints ONE JSON line:
+Prints the headline JSON line first:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+then (default invocation only) one JSON line per end-to-end encoder config
+(resnet50, vit_b16) with tflops/mfu — the configs where the framework's
+compute efficiency actually shows (the vg1k headline is latency-bound at
+~0.23 MFU by measurement; the encoder steps reach ~0.6/~0.79 MFU,
+BASELINE.md round-3 sweep). ``--no-encoder-sweep`` restores the single
+line.
 
 ``vs_baseline`` is measured against the reference-equivalent config run on
 CPU (BASELINE.md: the reference publishes no numbers, so the rebuild must
@@ -200,6 +206,8 @@ def main(argv=None) -> int:
     p.add_argument("--cpu-baseline", action="store_true",
                    help="measure the CPU denominator and write the cache file")
     p.add_argument("--refresh-baseline", action="store_true")
+    p.add_argument("--no-encoder-sweep", action="store_true",
+                   help="suppress the trailing resnet50/vit_b16 MFU lines")
     args = p.parse_args(argv)
 
     if not args.cpu_baseline:
@@ -244,7 +252,31 @@ def main(argv=None) -> int:
         out["tflops_per_sec"] = round(tflops, 2)
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+    # End-to-end encoder configs: the framework's peak-efficiency numbers
+    # (VERDICT r3 item 7 — without these the driver's record of this
+    # framework is its most latency-bound config). Failures here must not
+    # cost the already-printed headline.
+    if args.config == "vg1k" and not args.no_encoder_sweep:
+        for enc_cfg in ("resnet50", "vit_b16"):
+            try:
+                ips_e, _, tflops_e, mfu_e = measure(
+                    steps=16, warmup=2, platform=None, config=enc_cfg,
+                )
+                line = {
+                    "metric": f"gan_train_images_per_sec_per_chip[{enc_cfg}]",
+                    "value": round(ips_e, 2),
+                    "unit": "images/sec/chip",
+                    "vs_baseline": None,
+                }
+                if tflops_e is not None:
+                    line["tflops_per_sec"] = round(tflops_e, 2)
+                if mfu_e is not None:
+                    line["mfu"] = round(mfu_e, 4)
+                print(json.dumps(line), flush=True)
+            except Exception as e:  # pragma: no cover - device-dependent
+                print(f"[bench] {enc_cfg} sweep failed: {e!r}", file=sys.stderr)
     return 0
 
 
