@@ -151,6 +151,11 @@ class TrainConfig:
     # Global-norm gradient clipping applied to G, D, and (if trained) the
     # encoder. 0 = off (no transform in the chain — state unchanged).
     grad_clip: float = 0.0
+    # Switch-style MoE router load-balance coefficient, applied wherever
+    # the encoder actually TRAINS: pretrain (sgg/train/pretrain.py) and the
+    # GAN step's train_encoder joint-critic path. No-op for dense encoders
+    # and for frozen-encoder runs (a stop-gradiented router can't collapse).
+    moe_aux_coef: float = 0.01
     # Gradient accumulation: split every update's sub-batch into this many
     # sequential microbatches (a lax.scan inside the fused step) and average
     # the gradients — the memory-for-time lever for GP double-backprop on

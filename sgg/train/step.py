@@ -271,6 +271,20 @@ def make_step_fn(
                 x = normalize_for(cfg.model.encoder, images)
                 return encoder.apply(enc_params, x).astype(cfg.model.dtype)
 
+            def enc_feats_aux(enc_params, images):
+                # MoE encoders sow their Switch load-balance losses into a
+                # 'moe' collection; collect them so the train_encoder joint
+                # loss can regularize the router (without this, a trained
+                # MoE router would be silently unregularized — VERDICT r3).
+                x = normalize_for(cfg.model.encoder, images)
+                f, cols = encoder.apply(enc_params, x, mutable=["moe"])
+                leaves = jax.tree.leaves(cols.get("moe", {}))
+                aux = (
+                    sum(leaves) / len(leaves)
+                    if leaves else jnp.zeros((), jnp.float32)
+                )
+                return f.astype(cfg.model.dtype), aux
+
             def get_feats(images):
                 return jax.lax.stop_gradient(
                     enc_feats(state.enc_params, images)
@@ -344,16 +358,28 @@ def make_step_fn(
                         raw_mb, real_mb = mb
                         key_f, key_gp = jax.random.split(k)
 
+                        moe_on = cfg.model.moe_experts > 0
+
                         def joint_loss(dp, ep):
                             with jax.named_scope("encoder"):
-                                feats = enc_feats(ep, raw_mb)
+                                if moe_on:
+                                    feats, moe_aux = enc_feats_aux(ep, raw_mb)
+                                else:
+                                    feats = enc_feats(ep, raw_mb)
                             fake = jax.lax.stop_gradient(
                                 sample_fake(
                                     state.g_params,
                                     jax.lax.stop_gradient(feats), key_f, tau,
                                 )
                             )
-                            return d_loss_fn(dp, feats, real_mb, fake, key_gp)
+                            out = d_loss_fn(dp, feats, real_mb, fake, key_gp)
+                            if not moe_on:
+                                return out
+                            loss, am = out
+                            # Weighted router load-balance term reaches the
+                            # SAME objective the encoder grads come from.
+                            loss = loss + cfg.train.moe_aux_coef * moe_aux
+                            return loss, {**am, "moe_aux": moe_aux}
 
                         return jax.value_and_grad(
                             joint_loss, argnums=(0, 1), has_aux=True

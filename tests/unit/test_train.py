@@ -545,3 +545,43 @@ def test_grad_accum_with_trainable_encoder():
     finally:
         cfg.train.train_encoder = False
         cfg.train.grad_accum = 1
+
+
+def test_train_encoder_moe_aux_reaches_objective():
+    """train_encoder + MoE ViT: the Switch router load-balance loss sown by
+    MoEMLP is collected into the joint critic+encoder objective (metrics
+    carry a finite moe_aux) and its coefficient changes the encoder update
+    (VERDICT r3 item 6 — previously the router trained unregularized)."""
+
+    def moe_cfg(coef):
+        cfg = get_config("smoke")
+        cfg.model.encoder = "vit_b16"
+        cfg.model.vit_dim, cfg.model.vit_layers, cfg.model.vit_heads = 32, 1, 2
+        cfg.model.moe_experts = 2
+        cfg.model.vocab_size = V
+        cfg.data.image_size = 32
+        cfg.data.regions, cfg.data.feat_dim = 4, 32
+        cfg.train.batch_size = 2
+        cfg.train.n_critic = 1
+        cfg.train.train_encoder = True
+        cfg.train.moe_aux_coef = coef
+        return cfg
+
+    batch = _img_batch(0, 2, 2)
+    enc_after = []
+    for coef in (0.0, 100.0):
+        cfg = moe_cfg(coef)
+        state = create_train_state(cfg, jax.random.key(0))
+        step = make_train_step(cfg, donate=False)
+        s1, m = step(state, batch)
+        assert "moe_aux" in m
+        aux = float(np.asarray(m["moe_aux"]).mean())
+        assert np.isfinite(aux) and aux > 0
+        assert np.isfinite(float(m["d_loss"]))
+        enc_after.append(s1.enc_params)
+    diff = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree.leaves(enc_after[0]),
+                        jax.tree.leaves(enc_after[1]))
+    )
+    assert diff > 0, "moe_aux_coef had no effect on the encoder update"
