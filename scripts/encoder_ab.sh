@@ -38,7 +38,7 @@ run_arm() { # $1=workdir  $2=train_encoder
       --set train.host_rss_exit_gb=95
     rc=$?
     [ -d "$WD/checkpoints/$STEPS" ] && return 0
-    [ "$rc" -eq 75 ] || return "$rc"
+    { [ "$rc" -eq 75 ] || [ "$rc" -eq 86 ] || return "$rc"; }; [ "$rc" -eq 86 ] && { log "stall watchdog (rc 86) — waiting out claim window"; sleep 360; }
     log "RSS watchdog handover — relaunching (auto-resume)"
     sleep 60
   done

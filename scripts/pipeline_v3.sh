@@ -29,11 +29,23 @@ fi
 
 if [ ! -f "$D/enc_pretrain_v3/encoder_params.npz" ]; then
   log "stage 1: SPATIAL encoder pretrain ($PRETRAIN_STEPS steps)"
-  python -m sgg.cli.pretrain --vg-dir "$D/synthvg_grounded" \
-    --image-dir "$D/synthvg_grounded/images" \
-    --out-dir "$D/enc_pretrain_v3" --spatial on \
-    --max-images 38400 --steps "$PRETRAIN_STEPS" --batch-size 64 \
-    --log-every 500 --platform axon || exit 1
+  # Relaunch loop: the relay can wedge a dispatch forever (a 40k run once
+  # sat 80+ min at step 31k with 0 CPU). The pretrain CLI exits 86 on
+  # stall and resumes from its --checkpoint-every resume file; wait out
+  # the wedged-terminal claim window (~5-10 min) before relaunching.
+  while :; do
+    python -m sgg.cli.pretrain --vg-dir "$D/synthvg_grounded" \
+      --image-dir "$D/synthvg_grounded/images" \
+      --out-dir "$D/enc_pretrain_v3" --spatial on \
+      --max-images 38400 --steps "$PRETRAIN_STEPS" --batch-size 64 \
+      --log-every 500 --platform axon
+    rc=$?
+    [ -f "$D/enc_pretrain_v3/encoder_params.npz" ] && { rc=0; break; }
+    [ "$rc" -eq 86 ] || break
+    log "stage 1: stall watchdog fired — relaunching after claim window"
+    sleep 420
+  done
+  [ "$rc" -eq 0 ] || exit 1
   sleep 90
 else
   log "stage 1: skipped (encoder_params.npz exists)"
@@ -80,7 +92,7 @@ while :; do
   # Relay client can SIGABRT in C++ teardown AFTER a completed run; judge
   # success by the final checkpoint, not the exit code.
   [ -d "$D/run_v3/checkpoints/$STEPS" ] && { rc=0; break; }
-  [ "$rc" -eq 75 ] || break
+  { [ "$rc" -eq 75 ] || [ "$rc" -eq 86 ] || break; }; [ "$rc" -eq 86 ] && { log "stall watchdog (rc 86) — waiting out claim window"; sleep 360; }
   log "stage 4: RSS handover — relaunching trainer (auto-resume)"
   sleep 60
 done

@@ -67,7 +67,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
     # Relay client can SIGABRT in C++ teardown AFTER a completed run; judge
     # success by the final checkpoint, not the exit code (pipeline_v3.sh).
     [ -d "$WD/checkpoints/$STEPS" ] && { rc=0; break; }
-    [ "$rc" -eq 75 ] || break
+    { [ "$rc" -eq 75 ] || [ "$rc" -eq 86 ] || break; }; [ "$rc" -eq 86 ] && { log "stall watchdog (rc 86) — waiting out claim window"; sleep 360; }
     log "stage A: RSS watchdog handover — relaunching trainer (auto-resume)"
     sleep 60
   done

@@ -92,7 +92,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       --set train.host_rss_exit_gb=95
     rc=$?
     [ -d "$WD/checkpoints/$STEPS" ] && { rc=0; break; }
-    [ "$rc" -eq 75 ] || break
+    { [ "$rc" -eq 75 ] || [ "$rc" -eq 86 ] || break; }; [ "$rc" -eq 86 ] && { log "stall watchdog (rc 86) — waiting out claim window"; sleep 360; }
     log "phase 6: RSS watchdog handover — relaunching trainer (auto-resume)"
     sleep 60
   done

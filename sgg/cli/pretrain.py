@@ -75,6 +75,16 @@ def main(argv=None) -> int:
     p.add_argument("--vit-dims", default="768,12,12",
                    help="vit_b16 only: embed_dim,layers,heads "
                         "(default true B/16)")
+    p.add_argument("--stall-exit-sec", type=int, default=900,
+                   help="exit 86 when no step readback lands for this long "
+                        "(the relay can hang a dispatch forever — a 40k-step "
+                        "run once sat wedged for 80+ min; supervisors "
+                        "relaunch on rc 86 and --checkpoint-every resumes). "
+                        "0 disables")
+    p.add_argument("--checkpoint-every", type=int, default=5000,
+                   help="write a resume checkpoint (params+opt state+step) "
+                        "every N steps; a relaunch continues from it. "
+                        "0 disables")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -199,9 +209,54 @@ def main(argv=None) -> int:
     )
 
     n = len(train_paths)
+
+    # Mid-run resume checkpoint: the flat leaf order of (params, opt_state)
+    # is deterministic for a fixed model/optimizer, so a plain indexed npz
+    # round-trips the exact pytrees.
+    ckpt_path = os.path.join(args.out_dir, "pretrain_resume.npz")
+    start = 0
+    if args.checkpoint_every > 0 and os.path.exists(ckpt_path):
+        leaves, treedef = jax.tree.flatten((params, opt_state))
+        with np.load(ckpt_path) as z:
+            start = int(z["step"])
+            loaded = [jnp.asarray(z[f"a{j}"]) for j in range(len(leaves))]
+        params, opt_state = jax.tree.unflatten(treedef, loaded)
+        print(f"[sgg.pretrain] resumed at step {start} ← {ckpt_path}",
+              flush=True)
+
+    def save_resume(step_i, params, opt_state):
+        leaves = jax.tree.leaves((params, opt_state))
+        os.makedirs(args.out_dir, exist_ok=True)
+        tmp = ckpt_path + ".tmp.npz"
+        np.savez(tmp, step=step_i,
+                 **{f"a{j}": np.asarray(l) for j, l in enumerate(leaves)})
+        os.replace(tmp, ckpt_path)
+
+    # Stall watchdog: the relay can hang a single dispatch FOREVER (0 CPU,
+    # no error — observed 80+ min at step 31k of a 40k run). No in-process
+    # recovery is possible from a wedged C++ call, so exit 86 and let the
+    # supervisor relaunch into the resume checkpoint.
+    progress = {"t": time.time()}
+    if args.stall_exit_sec > 0:
+        import threading
+
+        def _watchdog():
+            while True:
+                time.sleep(30)
+                dt = time.time() - progress["t"]
+                if dt > args.stall_exit_sec:
+                    print(
+                        f"[sgg.pretrain] STALL: no step readback for "
+                        f"{dt:.0f}s (relay hang?) — exit 86 for relaunch",
+                        flush=True,
+                    )
+                    os._exit(86)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+
     t0 = time.time()
     metrics = {}
-    for i in range(args.steps):
+    for i in range(start, args.steps):
         if spatial:
             params, opt_state, metrics = step_fn(
                 params, opt_state, images_d, labels_d, cells_d, n, i
@@ -216,12 +271,17 @@ def main(argv=None) -> int:
             cell = (
                 f" cell_acc={float(metrics['cell_acc']):.3f}" if spatial else ""
             )
-            rate = (i + 1) * args.batch_size / (time.time() - t0)
+            rate = (i + 1 - start) * args.batch_size / (time.time() - t0)
             print(
                 f"[sgg.pretrain] step {i + 1}: loss={loss:.4f} "
                 f"presence_recall={rec:.3f}{cell} img/s={rate:.0f}",
                 flush=True,
             )
+            progress["t"] = time.time()
+        if args.checkpoint_every > 0 and (i + 1) % args.checkpoint_every == 0 \
+                and i + 1 < args.steps:
+            save_resume(i + 1, params, opt_state)
+            print(f"[sgg.pretrain] resume checkpoint @ {i + 1}", flush=True)
 
     report = evaluate_presence(
         model, params, test_imgs, test_labels, batch_size=args.batch_size,
@@ -256,6 +316,8 @@ def main(argv=None) -> int:
             indent=2,
         )
     print(f"[sgg.pretrain] encoder params → {out_npz}", flush=True)
+    if os.path.exists(ckpt_path):
+        os.remove(ckpt_path)  # the run is complete; the final npz is the product
     return 0
 
 

@@ -313,6 +313,33 @@ def main(argv=None) -> int:
             except ValueError:
                 pass
 
+    # Stall watchdog (config.py stall_exit_sec): a daemon thread exits 86
+    # when no log-boundary readback lands for the window — the loop thread
+    # itself is stuck inside the wedged dispatch, so only another thread
+    # can observe the stall. Supervisors treat 86 like 75 (relaunch +
+    # auto-resume; at most checkpoint_every steps are lost).
+    import time as _time
+
+    progress = {"t": _time.time()}
+    if cfg.train.stall_exit_sec > 0:
+        import threading
+
+        def _stall_watchdog():
+            import os
+
+            while True:
+                _time.sleep(30)
+                dt = _time.time() - progress["t"]
+                if dt > cfg.train.stall_exit_sec:
+                    print(
+                        f"[sgg.train] STALL: no log readback for {dt:.0f}s "
+                        "(relay hang?) — exit 86 for supervised relaunch",
+                        flush=True,
+                    )
+                    os._exit(86)
+
+        threading.Thread(target=_stall_watchdog, daemon=True).start()
+
     # The loop tracks the step count on the HOST: reading ``state.step`` back
     # every iteration would force a device sync per step (≥30 ms through this
     # machine's TPU relay — it dominated wall-clock before this change).
@@ -350,11 +377,13 @@ def main(argv=None) -> int:
                 ips = scalars.get("images_per_sec_per_chip")
                 ips_s = f" img/s/chip={ips:.1f}" if ips else ""
                 print(f"[sgg.train] step {step}: {msg}{ips_s}", flush=True)
+                progress["t"] = _time.time()
             if probe and (
                 step % cfg.train.eval_every == 0
                 or step == cfg.train.total_steps
             ):
                 logger.log(step, probe.run(state, step))
+                progress["t"] = _time.time()
             at_ckpt = (
                 step % cfg.train.checkpoint_every == 0
                 or step == cfg.train.total_steps
@@ -364,6 +393,7 @@ def main(argv=None) -> int:
                     state,
                     data_state=grain_it.get_state() if grain_it else None,
                 )
+                progress["t"] = _time.time()
             # Host-RSS watchdog (config.py host_rss_exit_gb): hand over to
             # the supervisor BEFORE the host OOM killer SIGKILLs us (which
             # loses up to checkpoint_every steps and can wedge the relay

@@ -247,6 +247,12 @@ class TrainConfig:
     # ongoing uploads (subset rotation, per-step host prefetch) eventually
     # OOMs the HOST unless it hands over mid-run. 0 = disabled.
     host_rss_exit_gb: float = 0.0
+    # Stall watchdog: when > 0 and no log-boundary readback lands for this
+    # many seconds, exit(86) from a daemon thread so a supervisor can
+    # relaunch into auto-resume. Exists because the relay can wedge a
+    # single dispatch FOREVER (0 CPU, no error — a pretrain once sat 80+
+    # min mid-run); the stuck C++ call cannot be recovered in-process.
+    stall_exit_sec: float = 900.0
 
 
 @dataclass
