@@ -98,6 +98,12 @@ def main(argv=None) -> int:
                   "programs bake their sampling distribution)",
                   file=sys.stderr)
             return 2
+        if args.ema or args.avg_last:
+            print("[sgg.serve] --ema/--avg-last need --workdir (artifacts "
+                  "bake their weights at export time; re-export with "
+                  "sgg.cli.export --ema/--avg-last instead)",
+                  file=sys.stderr)
+            return 2
         engine = ArtifactEngine(args.artifact, seed=args.seed,
                                 batch_size=args.batch_size)
     else:

@@ -112,6 +112,11 @@ def corpus_recall_bootstrap(
     set; a triple-level bootstrap would understate it (triples within an
     image share the same generated ranking).
     """
+    if int(n_boot) <= 0:
+        raise ValueError(
+            f"n_boot must be positive, got {n_boot} (0 replicates would "
+            "feed np.percentile an empty array)"
+        )
     n = len(per_image_gt)
     if n == 0 or not ks:
         return {k: (0.0, 0.0, 0.0) for k in ks}

@@ -204,27 +204,53 @@ class CheckpointManager:
         bf16 runs don't accumulate rounding across the sum. Returns None
         when no checkpoint exists; with one retained checkpoint this
         degrades to plain :meth:`restore`.
+
+        Checkpoints are restored ONE AT A TIME with only the running
+        float32 generator sums retained — materializing all N full states
+        (critic + both optimizer trees + encoder) at once was ~N× the peak
+        state RSS on a host that already runs an RSS watchdog. Non-latest
+        checkpoints restore with lenient=False regardless of ``lenient``:
+        a structure-drifted old checkpoint would otherwise have its
+        freshly-initialized (random) fallback leaves silently averaged
+        into the SWA weights — that must fail loudly instead.
         """
         steps = self.all_steps()[-max(1, int(last_n)):]
         if not steps:
             return None
-        states = [self.restore(abstract_state, lenient, step=s) for s in steps]
-        latest = states[-1]
-        if len(states) == 1:
+        latest = self.restore(abstract_state, lenient, step=steps[-1])
+        if len(steps) == 1:
             return latest
 
-        def _mean(trees):
-            def leaf(*xs):
-                acc = np.mean(
-                    np.stack([np.asarray(x, np.float32) for x in xs], 0), 0
-                )
-                return jnp.asarray(acc.astype(np.asarray(xs[-1]).dtype))
+        def _f32(tree):
+            return jax.tree.map(lambda x: np.asarray(x, np.float32), tree)
 
-            return jax.tree.map(leaf, *trees)
+        def _add(acc, tree):
+            return jax.tree.map(
+                lambda a, x: a + np.asarray(x, np.float32), acc, tree
+            )
 
-        out = latest.replace(g_params=_mean([s.g_params for s in states]))
-        if latest.g_ema is not None:
-            out = out.replace(g_ema=_mean([s.g_ema for s in states]))
+        sum_g = _f32(latest.g_params)
+        sum_e = _f32(latest.g_ema) if latest.g_ema is not None else None
+        for s in steps[:-1]:
+            st = self.restore(abstract_state, False, step=s)
+            sum_g = _add(sum_g, st.g_params)
+            if sum_e is not None:
+                sum_e = _add(sum_e, st.g_ema)
+            del st  # drop the full state before restoring the next one
+
+        n = float(len(steps))
+
+        def _mean_like(acc, ref):
+            return jax.tree.map(
+                lambda a, r: jnp.asarray(
+                    (a / n).astype(np.asarray(r).dtype)
+                ),
+                acc, ref,
+            )
+
+        out = latest.replace(g_params=_mean_like(sum_g, latest.g_params))
+        if sum_e is not None:
+            out = out.replace(g_ema=_mean_like(sum_e, latest.g_ema))
         return out
 
     def wait(self) -> None:
