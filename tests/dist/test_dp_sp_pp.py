@@ -68,10 +68,14 @@ def _tiny_vit_cfg(sp_mode="", pp=0, seq=1):
     cfg.model.critic_hidden = 32
     cfg.model.sp_mode = sp_mode
     cfg.model.pp_microbatches = pp
+    # Tiny ViT: stage slicing / ring hops / batch sharding are
+    # dimension-independent; full B/16 dims dominated this file's compile
+    # time (11 min at round 3's worst before the collective-hygiene fix).
+    cfg.model.vit_dim, cfg.model.vit_layers, cfg.model.vit_heads = 128, 2, 4
     cfg.mesh.seq = seq
     cfg.data.image_size = 32
     cfg.data.regions = 4
-    cfg.data.feat_dim = 768
+    cfg.data.feat_dim = 128
     cfg.train.n_critic = 2
     cfg.train.batch_size = 8
     return cfg

@@ -96,9 +96,12 @@ def test_ep_train_step_matches_single_device():
     cfg.model.encoder = "vit_b16"
     cfg.model.vocab_size = 24
     cfg.model.moe_experts = 4
+    # Tiny ViT: the all_to_all expert exchange + sharded expert storage
+    # are dimension-independent; B/16 dims only buy CPU compile time.
+    cfg.model.vit_dim, cfg.model.vit_layers, cfg.model.vit_heads = 128, 2, 4
     cfg.data.image_size = 32
     cfg.data.regions = 4
-    cfg.data.feat_dim = 768
+    cfg.data.feat_dim = 128
     cfg.train.batch_size, cfg.train.n_critic = 8, 2
 
     rng = np.random.RandomState(0)

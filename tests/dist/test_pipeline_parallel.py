@@ -82,9 +82,13 @@ def test_train_step_with_pipeline_parallel_encoder():
         cfg.model.noise_dim = 8
         cfg.model.critic_hidden = 32
         cfg.model.pp_microbatches = 4 if pp else 0
+        # Tiny ViT — 2 blocks over 2 stages still exercises the GPipe
+        # stage slicing; B/16 depth/width only buys CPU compile time.
+        cfg.model.vit_dim, cfg.model.vit_layers, cfg.model.vit_heads = (
+            128, 2, 4)
         cfg.data.image_size = 32
         cfg.data.regions = 4
-        cfg.data.feat_dim = 768
+        cfg.data.feat_dim = 128
         cfg.train.n_critic = 2
         cfg.train.batch_size = 8
         return cfg

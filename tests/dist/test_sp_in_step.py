@@ -18,7 +18,10 @@ def test_gspmd_step_with_ulysses_vit():
     cfg.model.sp_mode = "ulysses"
     cfg.model.vocab_size = V
     cfg.model.num_heads = 4
-    cfg.data.regions, cfg.data.feat_dim = 4, 768
+    # Tiny ViT (vit_dims): the Ulysses all_to_all + sharding being pinned
+    # are dimension-independent; B/16 dims only buy CPU compile time.
+    cfg.model.vit_dim, cfg.model.vit_layers, cfg.model.vit_heads = 128, 2, 4
+    cfg.data.regions, cfg.data.feat_dim = 4, 128
     cfg.data.image_size = 32
     cfg.train.batch_size = 4
     cfg.train.n_critic = 1
