@@ -59,3 +59,9 @@ for arm in frozen:false trainable:true; do
   sleep 90
 done
 log "done — compare the two [sgg.generate] recall@50 lines above"
+
+# Chained MoE measured run (VERDICT r3 item 6) — appended in round 4 so the
+# RUNNING session12.sh (whose own bytes cannot be edited mid-read) picks it
+# up when phase 5 invokes this script; it runs before the long transformer
+# arm, matching the round's priority order.
+bash scripts/moe_measure.sh || log "moe measure failed (queue continues)"

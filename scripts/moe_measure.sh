@@ -1,0 +1,48 @@
+#!/bin/bash
+# MoE-ViT measured run (VERDICT r3 item 6: "make MoE real by training it
+# once"). Two spatial-pretrain arms on the grounded corpus, identical
+# protocol, the only variable is the MLP tier:
+#   moe:   ViT 384/6/6 with 8-expert top-2 MoE MLP per block (GShard-style
+#          routing, Switch aux loss @ train.moe_aux_coef) — ~8x the MLP
+#          weight capacity at ~2x the active MLP FLOPs of dense.
+#   dense: same 384/6/6 ViT, plain MLP — the control.
+# Deliverables: held-out presence_recall / cell_acc per arm + img/s from
+# the step logs (BASELINE.md table). EP-mesh parity at scale is
+# environment-blocked (one relay chip); the EP exchange itself is pinned
+# by tests/dist/test_expert_parallel.py on the 8-device virtual mesh.
+cd /root/repo || exit 1
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
+D=/root/data
+STEPS=${STEPS:-6000}
+log() { echo "[moe-measure $(date +%H:%M:%S)] $*"; }
+
+[ -f "$D/synthvg_grounded/relationships.json" ] || {
+  log "grounded corpus missing"; exit 1; }
+
+run_arm() { # $1=out_dir  $2=extra-args...
+  local OUT="$1"; shift
+  if [ -f "$OUT/encoder_params.npz" ]; then
+    log "arm $OUT: already complete"; return 0
+  fi
+  while :; do
+    python -m sgg.cli.pretrain --vg-dir "$D/synthvg_grounded" \
+      --image-dir "$D/synthvg_grounded/images" \
+      --out-dir "$OUT" --encoder vit_b16 --spatial on \
+      --max-images 19200 --steps "$STEPS" --batch-size 64 \
+      --log-every 250 --checkpoint-every 1000 --platform axon "$@"
+    rc=$?
+    [ -f "$OUT/encoder_params.npz" ] && return 0
+    [ "$rc" -eq 86 ] || return "$rc"
+    log "arm $OUT: stall watchdog — relaunching after claim window"
+    sleep 420
+  done
+}
+
+log "=== arm: moe (vit 384/6/6, 8 experts top-2) ==="
+run_arm "$D/moe_pretrain" --vit-dims 384,6,6 --moe-experts 8 --moe-top-k 2 \
+  || { log "moe arm failed"; exit 1; }
+sleep 90
+log "=== arm: dense control (vit 384/6/6) ==="
+run_arm "$D/moe_dense_ctl" --vit-dims 384,6,6 \
+  || { log "dense arm failed"; exit 1; }
+log "done — compare the two held-out lines + img/s in the logs"
