@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from sgg.dist.mesh import DATA_AXIS, EXPERT_AXIS
 from sgg.models.moe import moe_expert_ffn, moe_routing
