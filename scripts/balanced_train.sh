@@ -59,14 +59,29 @@ done
 [ "$rc" -eq 0 ] || { log "train failed rc=$rc"; exit 1; }
 sleep 90
 
+# Evals retry on rc 86: the evaluate CLI's stall watchdog exits 86 when a
+# relay dispatch wedges; a retry from scratch after the claim window is
+# cheaper than losing the whole measured arm.
+run_eval() {
+  local try rc
+  for try in 1 2 3; do
+    python -m sgg.cli.evaluate "$@" --platform axon; rc=$?
+    [ "$rc" -eq 0 ] && return 0
+    [ "$rc" -eq 86 ] || return "$rc"
+    log "eval stall (rc 86) — retrying after claim window"
+    sleep 420
+  done
+  return "$rc"
+}
+
 log "eval: raw + EMA, held-out, zero-shot + per-predicate"
-python -m sgg.cli.evaluate --workdir "$WD" --split test \
+run_eval --workdir "$WD" --split test \
   --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
-  --bootstrap 2000 \
-  --per-predicate --platform axon || exit 1
+  --bootstrap 2000 --json-out /root/data/eval_bal_raw.json \
+  --per-predicate || exit 1
 sleep 90
-python -m sgg.cli.evaluate --workdir "$WD" --split test \
+run_eval --workdir "$WD" --split test \
   --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
-  --bootstrap 2000 \
-  --per-predicate --ema --platform axon || exit 1
+  --bootstrap 2000 --json-out /root/data/eval_bal_ema.json \
+  --per-predicate --ema || exit 1
 log "done"

@@ -15,8 +15,8 @@ log() { echo "[commit-results $(date +%H:%M:%S)] $*"; }
 
 snapshot() {
   # Small JSON/text artifacts: copy whole.
-  for f in "$D"/sweep_*.json "$D"/v3_freq_baseline.txt "$D"/bench_*.txt \
-           "$D"/enc_pretrain_v3/pretrain_meta.json; do
+  for f in "$D"/sweep_*.json "$D"/eval_*.json "$D"/v3_freq_baseline.txt "$D"/bench_*.txt \
+           "$D"/enc_pretrain_v3/pretrain_meta.json "$D"/moe_pretrain/pretrain_meta.json "$D"/moe_dense_ctl/pretrain_meta.json; do
     [ -s "$f" ] && cp -f "$f" "$R/$(basename "$f")"
   done
   # The session log carries every eval/train stdout line (evaluate prints

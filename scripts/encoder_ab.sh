@@ -51,11 +51,18 @@ for arm in frozen:false trainable:true; do
   run_arm "$WD" "$te" || { log "arm $name train failed"; exit 1; }
   sleep 90
   log "eval arm $name (EMA weights, held-out split, multi-k + zero-shot)"
-  python -m sgg.cli.evaluate --workdir "$WD" --split test \
-    --k 20,50,100 --num-samples 100 --batch-size 64 --num-images 2048 \
-    --predcls \
-    --zero-shot --ema --platform axon \
-    || { log "arm $name eval failed"; exit 1; }
+  for try in 1 2 3; do
+    python -m sgg.cli.evaluate --workdir "$WD" --split test \
+      --k 20,50,100 --num-samples 100 --batch-size 64 --num-images 2048 \
+      --predcls --json-out "/root/data/eval_encab_$name.json" \
+      --zero-shot --ema --platform axon
+    rc=$?
+    [ "$rc" -eq 0 ] && break
+    [ "$rc" -eq 86 ] || { log "arm $name eval failed rc=$rc"; exit 1; }
+    log "arm $name eval stall (rc 86) — retrying after claim window"
+    sleep 420
+  done
+  [ "$rc" -eq 0 ] || { log "arm $name eval failed rc=$rc"; exit 1; }
   sleep 90
 done
 log "done — compare the two [sgg.generate] recall@50 lines above"
