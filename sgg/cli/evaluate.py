@@ -112,6 +112,19 @@ def main(argv=None) -> int:
                         "alpha) result grid as one JSON file — one record "
                         "per combo with every recall@k / zsR@k / mR@k — "
                         "for machine consumption of sweep runs")
+    p.add_argument("--exclude-seen", default="off",
+                   choices=["off", "on", "sweep"],
+                   help="drop train-seen triples from each image's samples "
+                        "BEFORE ranking (host-side, free): a decode-time "
+                        "novelty lever for the zero-shot metric — if good "
+                        "novel compositions exist below the memorized "
+                        "ones, this surfaces them (at plain-R@k cost, "
+                        "since most GT is train-seen). 'sweep' evaluates "
+                        "both settings from the same samples")
+    p.add_argument("--stall-exit-sec", type=int, default=900,
+                   help="exit 86 when no sampling batch lands for this "
+                        "long (the relay can wedge a dispatch forever; "
+                        "supervisors relaunch on 86). 0 disables")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -157,6 +170,8 @@ def main(argv=None) -> int:
             print(f"[sgg.evaluate] unknown --rank {r!r}", file=sys.stderr)
             return 2
     with_logp = any(r != "freq" for r in ranks)
+    ex_opts = {"off": [False], "on": [True],
+               "sweep": [False, True]}[args.exclude_seen]
     kss = sorted({int(x) for x in
                   str(args.num_samples).split(",") if x.strip()}) or [100]
     n_draws = kss[-1]  # sample once at max K; smaller Ks are prefixes
@@ -224,23 +239,59 @@ def main(argv=None) -> int:
         prior = (counts + 1.0) / (counts.sum() + len(vocab))  # smoothed
         log_prior = np.log(prior)
 
-    # Rank-side combos: the α sweep applies to rank=logp only and is pure
-    # host-side re-ranking of the same tokens — extra αs cost no device
-    # work. (α=0 ≡ unadjusted logp.)
-    rcombos = [(r, a) for r in ranks
-               for a in (alphas if r == "logp" else [0.0])]
+    # Rank-side combos: the α sweep applies to rank=logp only, and both it
+    # and the exclude-seen filter are pure host-side re-rankings of the
+    # same tokens — extra combos cost no device work. (α=0 ≡ unadjusted.)
+    rcombos = [(r, a, e) for r in ranks
+               for a in (alphas if r == "logp" else [0.0])
+               for e in ex_opts]
     adj_map = {
         (r, a): (a * log_prior if (r == "logp" and a != 0) else None)
-        for r, a in rcombos
+        for r, a, _ in rcombos
     }
+
+    seen = None
+    if args.zero_shot or any(e for _, _, e in rcombos):
+        train_ds, _ = load_dataset(cfg, split="train")
+        seen = {
+            tuple(int(x) for x in t)
+            for trips in train_ds.triples for t in trips
+        }
 
     # One sampling pass per temperature per batch (all on ONE compiled
     # program — temp is traced); every rank ordering reuses its
     # temperature's tokens host-side.
-    gen = {(ti, ks, r, a): []
-           for ti in range(len(temps)) for ks in kss for (r, a) in rcombos}
+    gen = {(ti, ks, r, a, e): []
+           for ti in range(len(temps)) for ks in kss
+           for (r, a, e) in rcombos}
     gt_triples = []
     B = args.batch_size
+
+    # Stall watchdog: the relay can wedge a single dispatch forever (0 CPU,
+    # no error) and this loop is the CLI's long device-bound phase; a
+    # daemon thread is the only observer that survives the stuck C++ call.
+    import time as _time
+
+    progress = {"t": _time.time()}
+    if args.stall_exit_sec > 0:
+        import threading
+
+        def _stall_watchdog():
+            import os
+
+            while True:
+                _time.sleep(30)
+                dt = _time.time() - progress["t"]
+                if dt > args.stall_exit_sec:
+                    print(
+                        f"[sgg.evaluate] STALL: no batch readback for "
+                        f"{dt:.0f}s (relay hang?) — exit 86 for relaunch",
+                        flush=True,
+                    )
+                    os._exit(86)
+
+        threading.Thread(target=_stall_watchdog, daemon=True).start()
+
     for lo in range(0, n_images, B):
         idx = np.arange(lo, min(lo + B, n_images))
         feats = batch_features(idx)
@@ -261,45 +312,50 @@ def main(argv=None) -> int:
             for j, i in enumerate(idx):
                 for ks in kss:
                     lp_j = None if logp is None else logp[j, :ks]
-                    for r, a in rcombos:
-                        gen[(ti, ks, r, a)].append(rank_triples(
-                            tokens[j, :ks], lp_j,
+                    novel_mask = None
+                    for r, a, e in rcombos:
+                        tk, lp2 = tokens[j, :ks], lp_j
+                        if e:
+                            if novel_mask is None or len(novel_mask) != ks:
+                                novel_mask = np.fromiter(
+                                    (tuple(map(int, t)) not in seen
+                                     for t in tk), bool, ks)
+                            tk = tk[novel_mask]
+                            lp2 = None if lp2 is None else lp2[novel_mask]
+                        gen[(ti, ks, r, a, e)].append(rank_triples(
+                            tk, lp2,
                             rank=r, pred_adjust=adj_map[(r, a)],
                         ))
         for i in idx:
             gt_triples.append([tuple(map(int, t)) for t in ds.triples[i]])
+        progress["t"] = _time.time()
 
     ks = sorted({int(k) for k in str(args.k).split(",") if k.strip()})
-    combos = [(ti, ksamp, r, a) for ti in range(len(temps))
-              for ksamp in kss for (r, a) in rcombos]
+    combos = [(ti, ksamp, r, a, e) for ti in range(len(temps))
+              for ksamp in kss for (r, a, e) in rcombos]
     multi = len(combos) > 1
 
-    def combo_tag(ti, ksamp, r, a):
+    def combo_tag(ti, ksamp, r, a, e):
         if not multi:
             return ""
         tag = f" T={1.0 if temps[ti] is None else temps[ti]:g} rank={r}"
         if len(kss) > 1:
             tag += f" K={ksamp}"
-        return tag + (f" adj={a:g}" if a else "")
+        tag += f" adj={a:g}" if a else ""
+        return tag + (" novel-only" if e else "")
 
-    seen = None
-    if args.zero_shot:
-        train_ds, _ = load_dataset(cfg, split="train")
-        seen = {
-            tuple(int(x) for x in t)
-            for trips in train_ds.triples for t in trips
-        }
     records = {}
-    for ti, ksamp, r, a in combos:
-        gen_triples = gen[(ti, ksamp, r, a)]
-        tag = combo_tag(ti, ksamp, r, a)
+    for ti, ksamp, r, a, e in combos:
+        gen_triples = gen[(ti, ksamp, r, a, e)]
+        tag = combo_tag(ti, ksamp, r, a, e)
         recalls = corpus_recall_multi(gen_triples, gt_triples, ks)
         rec = {
             "temperature": 1.0 if temps[ti] is None else temps[ti],
             "num_samples": ksamp, "rank": r, "predicate_adjust": a,
+            "exclude_seen": bool(e),
             "recall": {str(k): recalls[k] for k in ks},
         }
-        records[(ti, ksamp, r, a)] = rec
+        records[(ti, ksamp, r, a, e)] = rec
         rep = " ".join(f"recall@{k} = {recalls[k]:.4f}" for k in ks)
         print(
             f"[sgg.evaluate]{tag} split={args.split} images={n_images} "
@@ -325,7 +381,7 @@ def main(argv=None) -> int:
                 f"({args.bootstrap} replicates over images): {rep}",
                 flush=True,
             )
-        if seen is not None:
+        if seen is not None and args.zero_shot:
             zs, n_zs = corpus_zero_shot_recall(gen_triples, gt_triples,
                                                seen, ks)
             rec["zero_shot_recall"] = {str(k): zs[k] for k in ks}
@@ -380,11 +436,11 @@ def main(argv=None) -> int:
         )
     if args.per_predicate:
         kmax = max(ks)
-        for ti, ksamp, r, a in combos:
-            ctag = combo_tag(ti, ksamp, r, a)
-            mr, table = corpus_mean_recall(gen[(ti, ksamp, r, a)],
+        for ti, ksamp, r, a, e in combos:
+            ctag = combo_tag(ti, ksamp, r, a, e)
+            mr, table = corpus_mean_recall(gen[(ti, ksamp, r, a, e)],
                                            gt_triples, k=kmax)
-            records[(ti, ksamp, r, a)][f"mean_recall@{kmax}"] = mr
+            records[(ti, ksamp, r, a, e)][f"mean_recall@{kmax}"] = mr
             print(f"[sgg.evaluate]{ctag} mR@{kmax} = {mr:.4f} "
                   f"over {len(table)} predicates with support", flush=True)
             if multi:

@@ -238,6 +238,34 @@ def test_train_ema_and_evaluate_zero_shot(tmp_path, capsys):
     assert "T=1 rank=logp adj=0.5" in out and "adj=1" in out
     assert out.count("recall@10") == 3
 
+    # exclude-seen sweep: novel-only combos filter train-seen triples
+    # host-side before ranking (decode-time zsR lever); both settings come
+    # from the same samples and are tagged
+    json_path = tmp_path / "ex_sweep.json"
+    rc = cli_evaluate.main(
+        ["--workdir", str(wd), "--k", "10", "--num-samples", "4",
+         "--num-images", "6", "--batch-size", "4", "--rank", "freq,logp",
+         "--exclude-seen", "sweep", "--zero-shot",
+         "--json-out", str(json_path)]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("novel-only") >= 2
+    import json as _json
+
+    with open(json_path) as f:
+        grid = _json.load(f)["combos"]
+    flags = {(c["rank"], c["exclude_seen"]) for c in grid}
+    assert flags == {("freq", False), ("freq", True),
+                     ("logp", False), ("logp", True)}
+    # the filter can only remove candidates: plain-R of novel-only <= plain
+    for rank in ("freq", "logp"):
+        plain = [c for c in grid if c["rank"] == rank
+                 and not c["exclude_seen"]][0]
+        novel = [c for c in grid if c["rank"] == rank
+                 and c["exclude_seen"]][0]
+        assert novel["recall"]["10"] <= plain["recall"]["10"] + 1e-9
+
     # num-samples saturation sweep: one sampling pass at max K, smaller Ks
     # are draw prefixes (K= tags; samples/image reports the combo's K)
     rc = cli_evaluate.main(
