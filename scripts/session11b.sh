@@ -35,7 +35,7 @@ if [ ! -f "$D/ranktemp_ab.done" ]; then
   if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
       --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
       --rank freq,freq_logp,logp --temperature 0.7,1.0,1.3 --ema \
-      --bootstrap 2000 \
+      --bootstrap 2000 --zero-shot --exclude-seen sweep \
       --json-out "$D/sweep_ranktemp.json" --platform axon; then
     touch "$D/ranktemp_ab.done"
   else
