@@ -134,7 +134,6 @@ def main(argv=None) -> int:
         images, vocab, min_triples=args.min_triples,
         max_triples_per_image=args.max_triples_per_image,
     )
-    vocab.save(os.path.join(args.out_dir, "vocab.json"))
     print(
         f"[sgg.preprocess] kept {len(ids)}/{len(images)} images, vocab={len(vocab)}",
         flush=True,
@@ -236,6 +235,12 @@ def main(argv=None) -> int:
             vit_dims=vit_dims, moe_experts=moe_experts, moe_top_k=moe_top_k,
         )
         print(f"[sgg.preprocess] {split_name}: {stats}", flush=True)
+    # Written LAST deliberately: every pipeline script guards its extract
+    # stage on vocab.json existence, so it must mean "extraction complete",
+    # not "extraction started" — a killed extract once left a partial shard
+    # dir whose early vocab.json would have skipped the stage with zero
+    # shards (NOTES.md session-13 incident).
+    vocab.save(os.path.join(args.out_dir, "vocab.json"))
     return 0
 
 

@@ -142,6 +142,7 @@ def extract_to_shards(
     vit_dims: tuple = (768, 12, 12),
     moe_experts: int = 0,
     moe_top_k: int = 2,
+    stall_exit_sec: float = 900.0,
 ) -> dict:
     """Streaming extraction: images → encoder → shards, O(shard) host memory.
 
@@ -224,6 +225,28 @@ def extract_to_shards(
         )
         shard_idx += 1
 
+    # Stall watchdog: the relay can wedge a dispatch/readback forever
+    # (0 CPU, no error); extraction is a ~30 min device-bound stage, so a
+    # daemon thread exits 86 when no batch readback lands in the window —
+    # the supervisor relaunches (and vocab.json written LAST keeps partial
+    # output from satisfying the stage guard).
+    progress = {"t": time.time()}
+    if stall_exit_sec > 0:
+        def _stall_watchdog():
+            import os as _os
+
+            while True:
+                time.sleep(30)
+                if time.time() - progress["t"] > stall_exit_sec:
+                    print(
+                        f"[extract] STALL: no batch readback for "
+                        f"{time.time() - progress['t']:.0f}s — exit 86",
+                        flush=True,
+                    )
+                    _os._exit(86)
+
+        threading.Thread(target=_stall_watchdog, daemon=True).start()
+
     shard_start = 0
     finished = False
     while not finished:
@@ -242,6 +265,7 @@ def extract_to_shards(
         if pending is not None:
             _, nv_p, dev = pending
             buf_feats.append(np.asarray(dev)[:nv_p])
+            progress["t"] = time.time()
             buf_count += nv_p
             done += nv_p
             while buf_count >= shard_size or (finished and nxt is None and buf_count > 0):
