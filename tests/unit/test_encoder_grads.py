@@ -20,6 +20,10 @@ def _grads(encoder_name, use_pallas, imgs, labels, seed=0):
     model = PresenceModel(
         encoder_name=encoder_name, num_classes=labels.shape[-1],
         use_pallas=use_pallas, dtype=jnp.float32, image_size=imgs.shape[1],
+        # 2 layers at width 256 keeps the PRODUCTION head_dim (256/4 = 64,
+        # same as B/16's 768/12) so the flash fwd+bwd tiling under test is
+        # unchanged, without 12 full-width layers of CPU grad compile.
+        vit_dims=(256, 2, 4),
     )
     params = model.init(jax.random.key(seed), imgs[:1])["params"]
 

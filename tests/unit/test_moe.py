@@ -117,7 +117,7 @@ def test_moe_vit_pretrain_step():
     labels = jnp.asarray((rng.rand(8, 12) > 0.7).astype(np.float32))
     model, params, opt_state, tx = make_pretrain_state(
         "vit_b16", 12, image_size=32, dtype=jnp.float32, seed=0,
-        moe_experts=2,
+        moe_experts=2, vit_dims=(128, 2, 4),  # routing is dims-independent
     )
     step = make_pretrain_step(model, tx, batch_size=4, seed=0)
     p0_router = np.asarray(
