@@ -27,6 +27,14 @@ else
   log "stage 0: skipped (relationships.json exists)"
 fi
 
+if [ ! -f "$D/enc_pretrain_v3/encoder_params.npz" ] \
+    && [ -f /root/repo/results/enc_pretrain_v3_r4/encoder_params.npz ]; then
+  log "stage 1: restoring committed round-4 pretrain checkpoint from git"
+  mkdir -p "$D/enc_pretrain_v3"
+  cp /root/repo/results/enc_pretrain_v3_r4/*.npz \
+     /root/repo/results/enc_pretrain_v3_r4/*.json "$D/enc_pretrain_v3/"
+fi
+
 if [ ! -f "$D/enc_pretrain_v3/encoder_params.npz" ]; then
   log "stage 1: SPATIAL encoder pretrain ($PRETRAIN_STEPS steps)"
   # Relaunch loop: the relay can wedge a dispatch forever (a 40k run once
