@@ -14,6 +14,18 @@ log() { echo "[balanced $(date +%H:%M:%S)] $*"; }
 
 [ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
 
+# Host-wipe recovery: the round-4 run reached step 20600 and its preemption
+# checkpoint is IN GIT (results/run_v3_bal0.7_ckpt). Restore it so the
+# supervised relaunch loop below auto-resumes instead of restarting from 0.
+CKPT_GIT=/root/repo/results/run_v3_bal0.7_ckpt
+if [ "$ALPHA" = "0.7" ] && [ ! -d "$WD/checkpoints" ] \
+    && [ -d "$CKPT_GIT/20600" ]; then
+  log "restoring committed round-4 checkpoint @20600 from git"
+  mkdir -p "$WD/checkpoints"
+  cp -r "$CKPT_GIT/20600" "$WD/checkpoints/"
+  cp "$CKPT_GIT/config.json" "$CKPT_GIT/vocab.json" "$WD/"
+fi
+
 # --- Re-queued short benches (session 13) ---------------------------------
 # W2 re-run: bench_inference --quant crashed session 12 (HTTP 413 — ViT
 # params were jit CONSTANTS; fixed to arguments). Runs here, before the
@@ -74,14 +86,14 @@ run_eval() {
   return "$rc"
 }
 
-log "eval: raw + EMA, held-out, zero-shot + per-predicate"
-run_eval --workdir "$WD" --split test \
-  --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
-  --bootstrap 2000 --json-out /root/data/eval_bal_raw.json \
-  --per-predicate || exit 1
-sleep 90
+log "eval: EMA first (comparable to the 0.2959 uniform headline), then raw"
 run_eval --workdir "$WD" --split test \
   --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
   --bootstrap 2000 --json-out /root/data/eval_bal_ema.json \
   --per-predicate --ema || exit 1
+sleep 90
+run_eval --workdir "$WD" --split test \
+  --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
+  --bootstrap 2000 --json-out /root/data/eval_bal_raw.json \
+  --per-predicate || exit 1
 log "done"
