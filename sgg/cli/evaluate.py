@@ -393,6 +393,30 @@ def main(argv=None) -> int:
                 f"{rep}",
                 flush=True,
             )
+    def write_json(partial: bool) -> None:
+        # Incremental: written once as soon as the main recall/CI/zsR
+        # metrics exist and rewritten after the predcls/per-predicate
+        # phases. Those phases run minutes of extra device+host work; a
+        # round-end SIGTERM used to lose the WHOLE json (round 4 lost the
+        # balanced arm's mR/EMA numbers exactly this way — BASELINE.md).
+        if not args.json_out:
+            return
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump({
+                "workdir": args.workdir, "split": args.split,
+                "images": int(n_images), "seed": args.seed,
+                "ema": bool(args.ema), "decode": args.decode,
+                "avg_last": int(args.avg_last),
+                "partial": partial,
+                "combos": list(records.values()),
+            }, f, indent=2)
+        print(f"[sgg.evaluate] wrote {args.json_out} "
+              f"({len(records)} combos{', partial' if partial else ''})",
+              flush=True)
+
+    write_json(partial=bool(args.predcls or args.per_predicate))
     if args.predcls:
         from sgg.eval import make_predcls_scorer, predicate_recall
 
@@ -450,19 +474,8 @@ def main(argv=None) -> int:
                 for p, (rr, n) in rows:
                     print(f"[sgg.evaluate]   {tag}: {vocab.token(p):<24} "
                           f"recall@{kmax} = {rr:.4f}  (n={n})", flush=True)
-    if args.json_out:
-        import json
-
-        with open(args.json_out, "w") as f:
-            json.dump({
-                "workdir": args.workdir, "split": args.split,
-                "images": int(n_images), "seed": args.seed,
-                "ema": bool(args.ema), "decode": args.decode,
-                "avg_last": int(args.avg_last),
-                "combos": list(records.values()),
-            }, f, indent=2)
-        print(f"[sgg.evaluate] wrote {args.json_out} "
-              f"({len(records)} combos)", flush=True)
+    if args.predcls or args.per_predicate:
+        write_json(partial=False)
     return 0
 
 

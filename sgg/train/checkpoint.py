@@ -95,6 +95,10 @@ def merge_checkpoint(raw, init_state, *, verbose: bool = True):
 
 class CheckpointManager:
     def __init__(self, workdir: str, cfg: Config, max_to_keep: int = 3):
+        # orbax's async checkpointer requires absolute paths (tensorstore
+        # kvstore spec); a relative --workdir otherwise dies in a background
+        # serialization thread with a confusing traceback.
+        workdir = os.path.abspath(workdir)
         self.workdir = workdir
         self.ckpt_dir = os.path.join(workdir, "checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
