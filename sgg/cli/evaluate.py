@@ -395,10 +395,12 @@ def main(argv=None) -> int:
             )
     def write_json(partial: bool) -> None:
         # Incremental: written once as soon as the main recall/CI/zsR
-        # metrics exist and rewritten after the predcls/per-predicate
-        # phases. Those phases run minutes of extra device+host work; a
-        # round-end SIGTERM used to lose the WHOLE json (round 4 lost the
-        # balanced arm's mR/EMA numbers exactly this way — BASELINE.md).
+        # metrics exist, rewritten (final) after the cheap host-side
+        # per-predicate mR pass. The expensive PredCls device phase runs
+        # LAST and is print-only — a round-end SIGTERM used to lose the
+        # WHOLE json including mR because one write happened after
+        # everything (round 4 lost the balanced arm's mR/EMA numbers
+        # exactly this way — BASELINE.md).
         if not args.json_out:
             return
         import json
@@ -416,7 +418,25 @@ def main(argv=None) -> int:
               f"({len(records)} combos{', partial' if partial else ''})",
               flush=True)
 
-    write_json(partial=bool(args.predcls or args.per_predicate))
+    write_json(partial=bool(args.per_predicate))
+    if args.per_predicate:
+        kmax = max(ks)
+        for ti, ksamp, r, a, e in combos:
+            ctag = combo_tag(ti, ksamp, r, a, e)
+            mr, table = corpus_mean_recall(gen[(ti, ksamp, r, a, e)],
+                                           gt_triples, k=kmax)
+            records[(ti, ksamp, r, a, e)][f"mean_recall@{kmax}"] = mr
+            print(f"[sgg.evaluate]{ctag} mR@{kmax} = {mr:.4f} "
+                  f"over {len(table)} predicates with support", flush=True)
+            if multi:
+                continue  # worst/best tables only for single-combo runs
+            by_r = sorted(table.items(), key=lambda kv: kv[1][0])
+            for tag, rows in (("worst", by_r[:5]), ("best", by_r[-5:])):
+                for p, (rr, n) in rows:
+                    print(f"[sgg.evaluate]   {tag}: {vocab.token(p):<24} "
+                          f"recall@{kmax} = {rr:.4f}  (n={n})", flush=True)
+    if args.per_predicate:
+        write_json(partial=False)
     if args.predcls:
         from sgg.eval import make_predcls_scorer, predicate_recall
 
@@ -458,24 +478,6 @@ def main(argv=None) -> int:
             f"{args.predcls_samples} draws/row): {rep}",
             flush=True,
         )
-    if args.per_predicate:
-        kmax = max(ks)
-        for ti, ksamp, r, a, e in combos:
-            ctag = combo_tag(ti, ksamp, r, a, e)
-            mr, table = corpus_mean_recall(gen[(ti, ksamp, r, a, e)],
-                                           gt_triples, k=kmax)
-            records[(ti, ksamp, r, a, e)][f"mean_recall@{kmax}"] = mr
-            print(f"[sgg.evaluate]{ctag} mR@{kmax} = {mr:.4f} "
-                  f"over {len(table)} predicates with support", flush=True)
-            if multi:
-                continue  # worst/best tables only for single-combo runs
-            by_r = sorted(table.items(), key=lambda kv: kv[1][0])
-            for tag, rows in (("worst", by_r[:5]), ("best", by_r[-5:])):
-                for p, (rr, n) in rows:
-                    print(f"[sgg.evaluate]   {tag}: {vocab.token(p):<24} "
-                          f"recall@{kmax} = {rr:.4f}  (n={n})", flush=True)
-    if args.predcls or args.per_predicate:
-        write_json(partial=False)
     return 0
 
 
