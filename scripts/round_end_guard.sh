@@ -66,6 +66,15 @@ if [ -n "$latest" ] && [ "$latest" -gt 20600 ] \
   cp -f "$WD/config.json" "$WD/vocab.json" "$CK/" 2>/dev/null
   sed -i "s/@ step [0-9]*/@ step $latest/; s|checkpoints/[0-9]*|checkpoints/$latest|" \
     "$CK/README.md" 2>/dev/null
+  # balanced_train.sh's wipe-recovery block restores a hardcoded step dir;
+  # point it at the new one (safe: the queue tree is dead by now, so no
+  # bash process is mid-read in that file).
+  prev=$(grep -o 'CKPT_GIT/[0-9]*' scripts/balanced_train.sh | head -1 | cut -d/ -f2)
+  if [ -n "$prev" ] && [ "$prev" != "$latest" ]; then
+    sed -i "s|CKPT_GIT/$prev|CKPT_GIT/$latest|g; s|checkpoint @$prev|checkpoint @$latest|" \
+      scripts/balanced_train.sh
+    git add scripts/balanced_train.sh >/dev/null 2>&1
+  fi
 fi
 # One-shot final results snapshot (same filters as commit_results.sh).
 D=/root/data; R=/root/repo/results
@@ -78,6 +87,7 @@ for lg in /root/data_session*.log; do
     "$lg" | grep -a -v "step [0-9]*:" > "$R/$(basename "$lg" .log)_signal.log" 2>/dev/null
 done
 git add results >/dev/null 2>&1
-git commit -q -m "round-end guard: final results + balanced checkpoint snapshot" -- results \
+git commit -q -m "round-end guard: final results + balanced checkpoint snapshot" \
+  -- results scripts/balanced_train.sh \
   && log "committed final snapshot"
 log "host left idle for the driver"
