@@ -19,10 +19,10 @@ log() { echo "[balanced $(date +%H:%M:%S)] $*"; }
 # supervised relaunch loop below auto-resumes instead of restarting from 0.
 CKPT_GIT=/root/repo/results/run_v3_bal0.7_ckpt
 if [ "$ALPHA" = "0.7" ] && [ ! -d "$WD/checkpoints" ] \
-    && [ -d "$CKPT_GIT/20600" ]; then
-  log "restoring committed round-4 checkpoint @20600 from git"
+    && [ -d "$CKPT_GIT/100000" ]; then
+  log "restoring committed round-4 checkpoint @100000 from git"
   mkdir -p "$WD/checkpoints"
-  cp -r "$CKPT_GIT/20600" "$WD/checkpoints/"
+  cp -r "$CKPT_GIT/100000" "$WD/checkpoints/"
   cp "$CKPT_GIT/config.json" "$CKPT_GIT/vocab.json" "$WD/"
 fi
 
