@@ -175,13 +175,33 @@ def _peak_tflops(device_kind: str) -> float | None:
     return None
 
 
-def cpu_baseline(refresh: bool = False) -> float:
-    if not refresh and os.path.exists(CPU_CACHE):
-        with open(CPU_CACHE) as f:
-            return json.load(f)["images_per_sec_per_chip"]
+def _load_cpu_cache() -> dict:
+    """Per-config CPU denominators. Legacy single-entry files (round 1-4
+    stored only the vg1k number at the top level) are upgraded in place."""
+    if not os.path.exists(CPU_CACHE):
+        return {}
+    with open(CPU_CACHE) as f:
+        data = json.load(f)
+    if "images_per_sec_per_chip" in data:  # legacy layout
+        data = {"vg1k": data}
+    return data
+
+
+def cpu_baseline(config: str = "vg1k", refresh: bool = False,
+                 measure_if_missing: bool = True) -> float | None:
+    cache = _load_cpu_cache()
+    if not refresh and config in cache:
+        return cache[config]["images_per_sec_per_chip"]
+    if not measure_if_missing:
+        # Under the driver the encoder-sweep denominators must come from the
+        # committed cache — an end-to-end CPU measurement mid-bench would
+        # stall the run for many minutes (VERDICT r4 weak #5 protocol:
+        # measure once offline, commit the cache).
+        return None
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
-        capture_output=True, text=True, cwd=REPO, timeout=1800,
+        [sys.executable, os.path.abspath(__file__), "--cpu-baseline",
+         "--config", config],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     if out.returncode != 0:
@@ -221,11 +241,22 @@ def main(argv=None) -> int:
             pass
 
     if args.cpu_baseline:
-        ips, sec, _, _ = measure(steps=3, warmup=1, platform="cpu")
-        payload = {"images_per_sec_per_chip": ips, "sec_per_step": sec}
+        # End-to-end encoder configs are ~2 orders costlier per step on this
+        # 1-core CPU than the precomputed-feature vg1k config; smoke scale
+        # (batch 8, one marginal step) with the same marginal-timing method
+        # is the r1 extrapolation protocol. img/s on CPU is throughput-bound,
+        # not batch-bound, so the denominator transfers to batch 32.
+        enc = args.config != "vg1k"
+        ips, sec, _, _ = measure(
+            steps=2 if enc else 3, warmup=1, platform="cpu",
+            batch_size=8 if enc else args.batch, config=args.config,
+        )
+        cache = _load_cpu_cache()
+        cache[args.config] = {"images_per_sec_per_chip": ips,
+                              "sec_per_step": sec}
         with open(CPU_CACHE, "w") as f:
-            json.dump(payload, f)
-        print(json.dumps(payload))
+            json.dump(cache, f)
+        print(json.dumps(cache[args.config]))
         return 0
 
     ips, sec, tflops, mfu = measure(
@@ -233,12 +264,12 @@ def main(argv=None) -> int:
         batch_size=args.batch, vocab=args.vocab, config=args.config,
     )
     vs = None
-    if args.config == "vg1k":
-        try:
-            base = cpu_baseline(refresh=args.refresh_baseline)
-            vs = ips / base if base > 0 else None
-        except Exception as e:
-            print(f"[bench] cpu baseline unavailable: {e}", file=sys.stderr)
+    try:
+        base = cpu_baseline(config=args.config, refresh=args.refresh_baseline,
+                            measure_if_missing=args.config == "vg1k")
+        vs = ips / base if base else None
+    except Exception as e:
+        print(f"[bench] cpu baseline unavailable: {e}", file=sys.stderr)
     metric = "gan_train_images_per_sec_per_chip"
     if args.config != "vg1k":
         metric = f"gan_train_images_per_sec_per_chip[{args.config}]"
@@ -264,11 +295,12 @@ def main(argv=None) -> int:
                 ips_e, _, tflops_e, mfu_e = measure(
                     steps=16, warmup=2, platform=None, config=enc_cfg,
                 )
+                base_e = cpu_baseline(config=enc_cfg, measure_if_missing=False)
                 line = {
                     "metric": f"gan_train_images_per_sec_per_chip[{enc_cfg}]",
                     "value": round(ips_e, 2),
                     "unit": "images/sec/chip",
-                    "vs_baseline": None,
+                    "vs_baseline": round(ips_e / base_e, 2) if base_e else None,
                 }
                 if tflops_e is not None:
                     line["tflops_per_sec"] = round(tflops_e, 2)

@@ -14,9 +14,10 @@ log() { echo "[balanced $(date +%H:%M:%S)] $*"; }
 
 [ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
 
-# Host-wipe recovery: the round-4 run reached step 20600 and its preemption
-# checkpoint is IN GIT (results/run_v3_bal0.7_ckpt). Restore it so the
-# supervised relaunch loop below auto-resumes instead of restarting from 0.
+# Host-wipe recovery: the round-4 run COMPLETED all 100000 steps and the
+# final checkpoint is IN GIT (results/run_v3_bal0.7_ckpt). Restoring it
+# makes the train loop below a no-op (checkpoints/100000 exists -> rc=0)
+# and the script proceeds straight to the evals.
 CKPT_GIT=/root/repo/results/run_v3_bal0.7_ckpt
 if [ "$ALPHA" = "0.7" ] && [ ! -d "$WD/checkpoints" ] \
     && [ -d "$CKPT_GIT/100000" ]; then

@@ -24,7 +24,7 @@ snapshot() {
   # hundreds of thousands of step lines.
   for lg in /root/data_session*.log; do
     [ -s "$lg" ] || continue
-    grep -a -E "\[sgg\.(evaluate|generate|pretrain)\]|\[(session12|session11b|balanced|encoder-ab|pipeline-v3) |freq_baseline|held-out|recall@|mR@|zsR@" \
+    grep -a -E "\[sgg\.(evaluate|generate|pretrain)\]|\[(session12|session11b|session18|balanced|encoder-ab|moe-measure|pipeline-v3) |freq_baseline|held-out|recall@|mR@|zsR@" \
       "$lg" | grep -a -v "step [0-9]*:" > "$R/$(basename "$lg" .log)_signal.log" 2>/dev/null
   done
 }

@@ -36,19 +36,24 @@ descendants() {
   done
 }
 
-SUP=$(cat /tmp/session16.pid 2>/dev/null)
+SUP=$(cat /tmp/session18.pid /tmp/session16.pid 2>/dev/null | head -1)
 if [ -n "$SUP" ] && kill -0 "$SUP" 2>/dev/null; then
   TREE=$(descendants "$SUP")
   kill "$SUP" 2>/dev/null
   for p in $TREE; do kill "$p" 2>/dev/null; done
   log "SIGTERMed supervisor tree: $SUP $TREE"
   # Preemption checkpoint: give the trainer up to 5 min to write it.
+  # Re-snapshot the tree each pass (ADVICE r4): a child forked by a
+  # relaunch loop between the first snapshot and the kill would escape a
+  # one-shot sweep and leave the host non-idle for the driver.
   for _ in $(seq 60); do
+    TREE=$(descendants "$SUP"; echo "$TREE")
     alive=0
     for p in $TREE; do kill -0 "$p" 2>/dev/null && alive=1; done
     [ "$alive" -eq 0 ] && break
     sleep 5
   done
+  TREE=$(descendants "$SUP"; echo "$TREE")
   for p in $TREE; do kill -9 "$p" 2>/dev/null; done
 else
   log "queue supervisor not running (already complete?)"
@@ -58,7 +63,11 @@ fi
 WD=/root/data/run_v3_bal0.7
 CK=results/run_v3_bal0.7_ckpt
 latest=$(ls "$WD/checkpoints" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
-if [ -n "$latest" ] && [ "$latest" -gt 20600 ] \
+# Only replace the committed snapshot with a STRICTLY NEWER step (ADVICE
+# r4: a hardcoded threshold would let a partial rerun's checkpoint
+# clobber the committed step-100000 final).
+committed=$(ls "$CK" 2>/dev/null | grep -E '^[0-9]+$' | sort -n | tail -1)
+if [ -n "$latest" ] && [ "$latest" -gt "${committed:-0}" ] \
     && [ -f "$WD/checkpoints/$latest/_CHECKPOINT_METADATA" ]; then
   log "committing balanced checkpoint @$latest"
   find "$CK" -maxdepth 1 -type d -regex '.*/[0-9]+' -exec rm -rf {} +
@@ -83,7 +92,7 @@ for f in "$D"/sweep_*.json "$D"/eval_*.json "$D"/v3_freq_baseline.txt "$D"/bench
 done
 for lg in /root/data_session*.log; do
   [ -s "$lg" ] || continue
-  grep -a -E "\[sgg\.(evaluate|generate|pretrain)\]|\[(session12|session11b|balanced|encoder-ab|pipeline-v3) |freq_baseline|held-out|recall@|mR@|zsR@" \
+  grep -a -E "\[sgg\.(evaluate|generate|pretrain)\]|\[(session12|session11b|session18|balanced|encoder-ab|moe-measure|pipeline-v3) |freq_baseline|held-out|recall@|mR@|zsR@" \
     "$lg" | grep -a -v "step [0-9]*:" > "$R/$(basename "$lg" .log)_signal.log" 2>/dev/null
 done
 git add results >/dev/null 2>&1

@@ -435,7 +435,6 @@ def main(argv=None) -> int:
                 for p, (rr, n) in rows:
                     print(f"[sgg.evaluate]   {tag}: {vocab.token(p):<24} "
                           f"recall@{kmax} = {rr:.4f}  (n={n})", flush=True)
-    if args.per_predicate:
         write_json(partial=False)
     if args.predcls:
         from sgg.eval import make_predcls_scorer, predicate_recall

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -306,13 +307,28 @@ def make_rotating_device_iterator(
         return feats, dense, counts, cumw
 
     def upload(j):
+        # Instrumented (VERDICT r4 weak #1): the balanced 100k train ran at
+        # ~13 effective steps/s vs ~290 between rotations; this split says
+        # whether the ~70 s/rotation goes to the host-side gather (GIL/CPU
+        # starvation of the main loop) or the relay device_put (transport
+        # serialization ahead of the train-step dispatches).
+        t0 = time.perf_counter()
         feats, dense, counts, cumw = host_subset(j)
-        return (
+        t1 = time.perf_counter()
+        out = (
             device_put_features(feats),
             jnp.asarray(dense),
             jnp.asarray(counts),
             jnp.asarray(cumw),
         )
+        jax.block_until_ready(out)
+        t2 = time.perf_counter()
+        if log:
+            log(
+                f"[sgg.data] subset {j} upload: host gather {t1 - t0:.1f}s, "
+                f"device_put {t2 - t1:.1f}s ({feats.nbytes / 1e9:.2f} GB)"
+            )
+        return out
 
     n_sub = n_critic + 1
     base = jax.random.key(seed)
