@@ -1,0 +1,78 @@
+#!/bin/bash
+# Transformer-decoder 100k arm (VERDICT r4 item 3, third attempt): the
+# framework's second decoder gets a trained quality number on the same v3
+# shards + eval protocol as the LSTM arms.
+#
+# Rotation-tax lever (VERDICT weak #1): rotation_min_steps=10000 instead of
+# the A/B-pinned 1000 — uploads happen 10x less often, so the measured
+# ~70 s/rotation relay tax amortizes to ~99 effective steps/s (vs 13) by
+# the round-4 numbers. This is a NEW arm, not a cell of the round-4 A/B,
+# so the schedule change is allowed (the uniform_v4 arm uses the identical
+# schedule, keeping decoder comparisons protocol-clean within v4).
+cd /root/repo || exit 1
+export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
+D=/root/data
+STEPS=${STEPS:-100000}
+ROT_MIN=${ROT_MIN:-10000}
+DRMB=${DRMB:-4000000000}
+WD="$D/run_v3_xf"
+log() { echo "[xf-arm $(date +%H:%M:%S)] $*"; }
+[ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
+
+if [ ! -d "$WD/checkpoints/$STEPS" ]; then
+  log "train: transformer decoder, $STEPS steps, rot_min=$ROT_MIN drmb=$DRMB"
+  while :; do
+    python -m sgg.cli.train --config vg1k --workdir "$WD" \
+      --platform axon \
+      --set model.decoder=transformer \
+      --set data.source=shards --set "data.data_dir=$D/v3_shards" \
+      --set "data.device_resident_max_bytes=$DRMB" \
+      --set model.compute_dtype=bfloat16 \
+      --set train.batch_size=256 --set "train.total_steps=$STEPS" \
+      --set train.log_every=200 --set train.checkpoint_every=2000 \
+      --set "data.rotation_min_steps=$ROT_MIN" \
+      --set train.ema_decay=0.999 \
+      --set train.eval_every=5000 \
+      --set train.max_checkpoints=6 \
+      --set train.host_rss_exit_gb=95
+    rc=$?
+    [ -d "$WD/checkpoints/$STEPS" ] && { rc=0; break; }
+    { [ "$rc" -eq 75 ] || [ "$rc" -eq 86 ] || break; }
+    [ "$rc" -eq 86 ] && { log "stall watchdog (rc 86) — waiting out claim window"; sleep 360; }
+    log "watchdog handover — relaunching trainer (auto-resume)"
+    sleep 60
+  done
+  [ "$rc" -eq 0 ] || { log "train failed rc=$rc"; exit 1; }
+  sleep 90
+else
+  log "train already complete"
+fi
+
+run_eval() {
+  local try rc
+  for try in 1 2 3; do
+    python -m sgg.cli.evaluate "$@" --platform axon; rc=$?
+    [ "$rc" -eq 0 ] && return 0
+    [ "$rc" -eq 86 ] || return "$rc"
+    log "eval stall (rc 86) — retrying after claim window"
+    sleep 420
+  done
+  return "$rc"
+}
+
+if [ ! -s "$D/eval_xf_ema.json" ] || grep -q '"partial": true' "$D/eval_xf_ema.json"; then
+  log "eval: EMA (headline-comparable protocol)"
+  run_eval --workdir "$WD" --split test \
+    --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
+    --bootstrap 2000 --json-out "$D/eval_xf_ema.json" --per-predicate --ema \
+    || { log "EMA eval failed"; exit 1; }
+  sleep 90
+fi
+if [ ! -s "$D/eval_xf_raw.json" ] || grep -q '"partial": true' "$D/eval_xf_raw.json"; then
+  log "eval: raw"
+  run_eval --workdir "$WD" --split test \
+    --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
+    --bootstrap 2000 --json-out "$D/eval_xf_raw.json" --per-predicate \
+    || { log "raw eval failed"; exit 1; }
+fi
+log "done"
