@@ -178,15 +178,24 @@ def main(argv=None) -> int:
     # host-prefetch path (it builds global arrays via
     # make_array_from_process_local_data).
     _store = getattr(ds, "features", None)
+    _int8_store = bool(cfg.data.feature_store_int8) and _store is not None
     if _store is None:
         _store = getattr(ds, "images", None) if isinstance(
             ds, ArrayImageTripleDataset) else None
+
+    def _store_bytes(a):
+        # Bytes the store occupies in HBM / per relay upload. int8 mode
+        # quantizes feature stores to int8 + a per-region f32 scale.
+        if not _int8_store:
+            return a.nbytes
+        return a.nbytes // a.dtype.itemsize + a[..., 0].size * 4
+
     use_device_data = (
         cfg.data.loader != "grain"
         and cfg.data.device_resident
         and jax.process_count() == 1
         and _store is not None
-        and _store.nbytes <= cfg.data.device_resident_max_bytes
+        and _store_bytes(_store) <= cfg.data.device_resident_max_bytes
     )
     grain_it = None
     if cfg.data.loader == "grain":
@@ -212,9 +221,11 @@ def main(argv=None) -> int:
         it = make_device_train_iterator(
             ds, cfg.train.batch_size, cfg.train.n_critic,
             seed=cfg.train.seed, sharding=sharding,
+            int8_store=_int8_store,
         )
         print("[sgg.train] device-resident dataset "
-              f"({_store.nbytes / 1e6:.0f} MB in HBM)", flush=True)
+              f"({_store_bytes(_store) / 1e6:.0f} MB in HBM"
+              f"{', int8+scale' if _int8_store else ''})", flush=True)
     elif (
         cfg.data.device_resident
         and cfg.data.rotate_subsets
@@ -231,16 +242,19 @@ def main(argv=None) -> int:
             seed=cfg.train.seed, subset_bytes=subset_bytes,
             min_steps_per_subset=cfg.data.rotation_min_steps,
             sharding=sharding,
+            int8_store=_int8_store,
             log=lambda m: print(m, flush=True),
         )
         _rot_store = getattr(ds, "features", None)
         if _rot_store is None:
             _rot_store = ds.images
-        n_subsets = -(-_rot_store.nbytes // subset_bytes)
+        _rot_bytes = _store_bytes(_rot_store)
+        n_subsets = -(-_rot_bytes // subset_bytes)
         print(
             f"[sgg.train] rotating device-resident subsets "
-            f"({_rot_store.nbytes / 1e9:.1f} GB over {n_subsets} subsets "
-            f"of ≤{subset_bytes / 1e9:.1f} GB)",
+            f"({_rot_bytes / 1e9:.1f} GB over {n_subsets} subsets "
+            f"of ≤{subset_bytes / 1e9:.1f} GB"
+            f"{', int8+scale' if _int8_store else ''})",
             flush=True,
         )
     else:

@@ -107,6 +107,14 @@ class DataConfig:
     # device_resident_max_bytes/2 (two subsets alive across a swap).
     rotate_subsets: bool = True
     rotation_min_steps: int = 0  # floor on steps per subset before swapping
+    # int8 feature store: symmetric per-region quantization of the (f16/f32)
+    # feature store on host, dequantized per BATCH inside the jitted gather
+    # (pipeline.quantize_feature_store). Halves f16 HBM residency + relay
+    # upload bytes — the lever that fits the 21 GB v3 extraction fully
+    # device-resident on a 16 GB v5e instead of rotating subsets through
+    # the relay (~70 s upload per rotation measured in round 4). Max rel
+    # error ≤ 1/127 of each region's own absmax.
+    feature_store_int8: bool = False
     # Predicate-balanced triple sampling (the standard SGG long-tail
     # resampling lever): weight each image's triples by
     # global-predicate-frequency^(−alpha) when drawing the per-image triple.

@@ -137,6 +137,39 @@ def _data_store(dataset) -> tuple[np.ndarray, str]:
     return dataset.images, "images"
 
 
+def quantize_feature_store(
+    feats: np.ndarray, chunk: int = 8192
+) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-region int8 quantization of a feature store.
+
+    Halves (vs f16) or quarters (vs f32) the bytes a feature store needs in
+    HBM, which is what lets the 21 GB v3 extraction live FULLY device-
+    resident on a 16 GB v5e instead of rotating 2 GB subsets through the
+    relay forever (the measured rotation tax: ~70 s of upload per 1000
+    steps = 13 effective steps/s, VERDICT r4 weak #1 — and every uploaded
+    byte also leaks into host RSS through this relay client, NOTES.md).
+
+    Returns ``(q int8 [N, R, F], scale f32 [N, R])`` with
+    ``x ≈ q * scale``. The scale is per REGION (row): region vectors are
+    one encoder activation each, so their dynamic ranges differ far more
+    across regions than across the 512 channels within one — per-region
+    absmax keeps the max relative error ≤ 1/127 of each region's own peak.
+    Chunked so the temporary f32 view never exceeds ``chunk`` images.
+    """
+    n = feats.shape[0]
+    q = np.empty(feats.shape, np.int8)
+    scale = np.empty(feats.shape[:-1], np.float32)
+    for lo in range(0, n, chunk):
+        f = np.asarray(feats[lo : lo + chunk], np.float32)
+        s = np.abs(f).max(axis=-1) / 127.0
+        np.maximum(s, 1e-12, out=s)
+        q[lo : lo + chunk] = np.clip(
+            np.rint(f / s[..., None]), -127, 127
+        ).astype(np.int8)
+        scale[lo : lo + chunk] = s
+    return q, scale
+
+
 def make_device_train_iterator(
     dataset,
     batch_size: int,
@@ -145,6 +178,7 @@ def make_device_train_iterator(
     process_index: int | None = None,
     process_count: int | None = None,
     sharding: jax.sharding.Sharding | None = None,
+    int8_store: bool = False,
 ):
     """Device-resident pipeline: the whole (local) dataset lives in HBM and
     every super-batch is assembled by ONE jitted gather — zero per-step
@@ -177,7 +211,19 @@ def make_device_train_iterator(
         if len(local) == len(dataset) and process_count == 1
         else store_host[local]
     )
-    feats = device_put_features(host_feats)
+    int8_store = int8_store and key_name == "features"
+    if int8_store:
+        # int8 + per-region scale resident; the jitted gather below dequants
+        # the BATCH (not the store) back to the original dtype — a fused
+        # gather·mul·cast, zero extra HBM beyond the batch itself.
+        store_dtype = host_feats.dtype
+        q_host, scale_host = quantize_feature_store(host_feats)
+        feats = device_put_features(q_host)
+        scale_d = device_put_features(scale_host)
+        del q_host, scale_host
+    else:
+        feats = device_put_features(host_feats)
+        scale_d = jnp.zeros((1, 1), jnp.float32)  # unused; DCE'd under jit
     tri_list = [dataset.triples[i] for i in local]
     T = max(t.shape[0] for t in tri_list)
     dense = np.zeros((len(local), T, 3), np.int32)
@@ -203,7 +249,7 @@ def make_device_train_iterator(
     # a program constant, bloating the compiled executable (and overflowing
     # remote-compile request limits) by the size of the dataset.
     @jax.jit
-    def sample(feats, dense, counts, cumw, step):
+    def sample(feats, scale, dense, counts, cumw, step):
         key = jax.random.fold_in(base, step)
         k_img, k_tri = jax.random.split(key)
         img = jax.random.randint(k_img, (n_sub, batch_size), 0, N)
@@ -214,8 +260,11 @@ def make_device_train_iterator(
         else:
             # uniform triple choice within each image's true triple count
             tsel = (u * counts[img]).astype(jnp.int32)
+        x = feats[img]  # [n_sub, B, R, F] / [n_sub, B, H, W, 3]
+        if int8_store:
+            x = (x * scale[img][..., None]).astype(store_dtype)
         batch = {
-            key_name: feats[img],  # [n_sub, B, R, F] / [n_sub, B, H, W, 3]
+            key_name: x,
             "triples": dense[img, tsel],  # [n_sub, B, 3]
         }
         if sharding is not None:
@@ -227,7 +276,7 @@ def make_device_train_iterator(
     def gen():
         step = 0
         while True:
-            yield sample(feats, dense_d, counts_d, cumw_d, step)
+            yield sample(feats, scale_d, dense_d, counts_d, cumw_d, step)
             step += 1
 
     return gen()
@@ -241,6 +290,7 @@ def make_rotating_device_iterator(
     subset_bytes: int = 2_000_000_000,
     min_steps_per_subset: int = 0,
     sharding: jax.sharding.Sharding | None = None,
+    int8_store: bool = False,
     log=print,
 ):
     """Bigger-than-HBM corpora without per-step host uploads (VERDICT r2
@@ -272,7 +322,16 @@ def make_rotating_device_iterator(
 
     store_host, key_name = _data_store(dataset)
     n = len(dataset)
+    int8_store = int8_store and key_name == "features"
+    scale_host = None
+    if int8_store:
+        # Quantize ONCE up front; every subset upload then moves int8 + a
+        # tiny f32 scale — half the f16 relay bytes per rotation.
+        store_dtype = store_host.dtype
+        store_host, scale_host = quantize_feature_store(store_host)
     per_img = store_host[0].nbytes
+    if int8_store:
+        per_img += scale_host[0].nbytes
     S = max(1, min(n, subset_bytes // max(per_img, 1)))
     n_subsets = max(1, -(-n // S))
     rng = np.random.RandomState(seed)
@@ -290,6 +349,7 @@ def make_rotating_device_iterator(
     def host_subset(j):
         idx = subsets[j]
         feats = store_host[idx]
+        scl = scale_host[idx] if int8_store else np.zeros((1, 1), np.float32)
         dense = np.zeros((S, T, 3), np.int32)
         counts = np.zeros((S,), np.int32)
         for row, i in enumerate(idx):
@@ -304,7 +364,7 @@ def make_rotating_device_iterator(
             if balanced
             else np.zeros((1, 1), np.float32)  # unused; DCE'd under jit
         )
-        return feats, dense, counts, cumw
+        return feats, scl, dense, counts, cumw
 
     def upload(j):
         # Instrumented (VERDICT r4 weak #1): the balanced 100k train ran at
@@ -313,10 +373,11 @@ def make_rotating_device_iterator(
         # starvation of the main loop) or the relay device_put (transport
         # serialization ahead of the train-step dispatches).
         t0 = time.perf_counter()
-        feats, dense, counts, cumw = host_subset(j)
+        feats, scl, dense, counts, cumw = host_subset(j)
         t1 = time.perf_counter()
         out = (
             device_put_features(feats),
+            jnp.asarray(scl),
             jnp.asarray(dense),
             jnp.asarray(counts),
             jnp.asarray(cumw),
@@ -334,7 +395,7 @@ def make_rotating_device_iterator(
     base = jax.random.key(seed)
 
     @jax.jit
-    def sample(feats, dense, counts, cumw, step):
+    def sample(feats, scale, dense, counts, cumw, step):
         key = jax.random.fold_in(base, step)
         k_img, k_tri = jax.random.split(key)
         img = jax.random.randint(k_img, (n_sub, batch_size), 0, S)
@@ -343,7 +404,10 @@ def make_rotating_device_iterator(
             tsel = (u[..., None] > cumw[img]).sum(-1).astype(jnp.int32)
         else:
             tsel = (u * counts[img]).astype(jnp.int32)
-        batch = {key_name: feats[img], "triples": dense[img, tsel]}
+        x = feats[img]
+        if int8_store:
+            x = (x * scale[img][..., None]).astype(store_dtype)
+        batch = {key_name: x, "triples": dense[img, tsel]}
         if sharding is not None:
             batch = jax.lax.with_sharding_constraint(
                 batch, jax.tree.map(lambda _: sharding, batch)
@@ -385,7 +449,7 @@ def make_rotating_device_iterator(
                         f"({steps_on_subset} steps on last subset)"
                     )
                 steps_on_subset = 0
-            yield sample(current[0], current[1], current[2], current[3], step)
+            yield sample(*current, step)
             step += 1
             steps_on_subset += 1
 

@@ -307,3 +307,69 @@ def test_image_dataset_predicate_balance_carries_through_materialize(tmp_path):
     np.testing.assert_allclose(w, [0.25, 0.25, 0.5])
     arr = ds.materialize()
     np.testing.assert_allclose(arr.triple_weights[0], [0.25, 0.25, 0.5])
+
+
+# --- int8 feature store (round 5: full-HBM residency for 21 GB stores) ----
+
+
+def test_quantize_feature_store_roundtrip():
+    from sgg.data.pipeline import quantize_feature_store
+
+    r = np.random.RandomState(0)
+    # wildly different per-region dynamic ranges (the case per-region
+    # scales exist for)
+    feats = (r.randn(16, 5, 32) * np.logspace(-3, 3, 5)[None, :, None]).astype(
+        np.float16
+    )
+    q, scale = quantize_feature_store(feats, chunk=7)
+    assert q.dtype == np.int8 and scale.dtype == np.float32
+    assert q.shape == feats.shape and scale.shape == feats.shape[:2]
+    recon = q.astype(np.float32) * scale[..., None]
+    # per-region error bound: half a quantization bucket of that region's absmax
+    absmax = np.abs(feats.astype(np.float32)).max(-1)
+    err = np.abs(recon - feats.astype(np.float32)).max(-1)
+    assert (err <= absmax / 127.0 * 0.5 + 1e-12).all()
+
+
+def test_device_iterator_int8_store_close_and_same_indices(ds):
+    it_f = make_device_train_iterator(
+        ds, 4, 2, seed=3, process_index=0, process_count=1
+    )
+    it_q = make_device_train_iterator(
+        ds, 4, 2, seed=3, process_index=0, process_count=1, int8_store=True
+    )
+    for _ in range(3):
+        bf, bq = next(it_f), next(it_q)
+        # identical sampling stream (same fold_in key path)
+        np.testing.assert_array_equal(
+            np.asarray(bf["triples"]), np.asarray(bq["triples"])
+        )
+        f, g = np.asarray(bf["features"]), np.asarray(bq["features"])
+        assert g.dtype == f.dtype
+        absmax = np.abs(f).max(-1, keepdims=True)
+        assert (np.abs(f - g) <= absmax / 127.0 + 1e-6).all()
+
+
+def test_rotating_iterator_int8_store(ds):
+    from sgg.data.pipeline import make_rotating_device_iterator
+
+    per_img = ds.features[0].nbytes
+    it_f = make_rotating_device_iterator(
+        ds, 4, 1, seed=9, subset_bytes=per_img * 10, log=None
+    )
+    it_q = make_rotating_device_iterator(
+        ds, 4, 1, seed=9, subset_bytes=per_img * 10, int8_store=True, log=None
+    )
+    # int8 subsets hold ~2x the images per byte budget, so the two streams
+    # diverge in subset layout — check validity, not equality: every int8
+    # batch feature block must reconstruct some real image's features.
+    for _ in range(25):
+        next(it_f)
+        b = next(it_q)
+        g = np.asarray(b["features"], np.float32)
+        absmax = np.abs(np.asarray(ds.features, np.float32)).max()
+        for blk in g[0]:
+            d = np.abs(
+                np.asarray(ds.features, np.float32) - blk[None]
+            ).max((1, 2))
+            assert d.min() <= absmax / 127.0 + 1e-6
