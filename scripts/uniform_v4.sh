@@ -11,7 +11,8 @@ export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 D=/root/data
 STEPS=${STEPS:-100000}
 ROT_MIN=${ROT_MIN:-10000}
-DRMB=${DRMB:-4000000000}
+DRMB=${DRMB:-12000000000}
+INT8=${INT8:-true}
 WD="$D/run_v4_uniform"
 log() { echo "[uniform-v4 $(date +%H:%M:%S)] $*"; }
 [ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
@@ -23,6 +24,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       --platform axon \
       --set data.source=shards --set "data.data_dir=$D/v3_shards" \
       --set "data.device_resident_max_bytes=$DRMB" \
+      --set "data.feature_store_int8=$INT8" \
       --set model.compute_dtype=bfloat16 \
       --set train.batch_size=256 --set "train.total_steps=$STEPS" \
       --set train.log_every=200 --set train.checkpoint_every=2000 \

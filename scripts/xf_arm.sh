@@ -3,18 +3,23 @@
 # framework's second decoder gets a trained quality number on the same v3
 # shards + eval protocol as the LSTM arms.
 #
-# Rotation-tax lever (VERDICT weak #1): rotation_min_steps=10000 instead of
-# the A/B-pinned 1000 — uploads happen 10x less often, so the measured
-# ~70 s/rotation relay tax amortizes to ~99 effective steps/s (vs 13) by
-# the round-4 numbers. This is a NEW arm, not a cell of the round-4 A/B,
-# so the schedule change is allowed (the uniform_v4 arm uses the identical
-# schedule, keeping decoder comparisons protocol-clean within v4).
+# Rotation-tax kill (VERDICT weak #1): data.feature_store_int8 quantizes
+# the 21.3 GB f16 store to 9.9 GB int8+per-region-scale, which fits FULLY
+# device-resident on the 16 GB v5e — zero steady-state relay uploads
+# (vs ~70 s per 1000-step rotation = 13 effective steps/s in round 4) and
+# no relay-client RSS leak growth. Max dequant error ≤ 1/127 of each
+# region's absmax (tests/unit/test_device_pipeline.py). This is a NEW arm,
+# not a cell of the round-4 A/B, so the input change is allowed; the
+# uniform_v4 arm trains with the IDENTICAL store, keeping the
+# decoder-architecture comparison protocol-clean within v4. ROT_MIN is a
+# fallback if residency is disabled.
 cd /root/repo || exit 1
 export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 D=/root/data
 STEPS=${STEPS:-100000}
 ROT_MIN=${ROT_MIN:-10000}
-DRMB=${DRMB:-4000000000}
+DRMB=${DRMB:-12000000000}
+INT8=${INT8:-true}
 WD="$D/run_v3_xf"
 log() { echo "[xf-arm $(date +%H:%M:%S)] $*"; }
 [ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
@@ -27,6 +32,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       --set model.decoder=transformer \
       --set data.source=shards --set "data.data_dir=$D/v3_shards" \
       --set "data.device_resident_max_bytes=$DRMB" \
+      --set "data.feature_store_int8=$INT8" \
       --set model.compute_dtype=bfloat16 \
       --set train.batch_size=256 --set "train.total_steps=$STEPS" \
       --set train.log_every=200 --set train.checkpoint_every=2000 \
