@@ -19,7 +19,9 @@ log() { echo "[uniform-v4 $(date +%H:%M:%S)] $*"; }
 
 if [ ! -d "$WD/checkpoints/$STEPS" ]; then
   log "train: uniform LSTM v4, $STEPS steps, rot_min=$ROT_MIN drmb=$DRMB"
+  attempt=0
   while :; do
+    attempt=$((attempt + 1))
     python -m sgg.cli.train --config vg1k --workdir "$WD" \
       --platform axon \
       --set data.source=shards --set "data.data_dir=$D/v3_shards" \
@@ -35,7 +37,17 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       --set train.host_rss_exit_gb=95
     rc=$?
     [ -d "$WD/checkpoints/$STEPS" ] && { rc=0; break; }
-    { [ "$rc" -eq 75 ] || [ "$rc" -eq 86 ] || break; }
+    if [ "$rc" -ne 75 ] && [ "$rc" -ne 86 ]; then
+      # Same full-residency → int8-rotating fallback as xf_arm.sh.
+      if [ "$attempt" -eq 1 ] && [ ! -d "$WD/checkpoints" ] \
+          && [ "$DRMB" != "4000000000" ]; then
+        DRMB=4000000000
+        log "first attempt failed rc=$rc before any checkpoint — falling back to int8 rotating subsets (drmb=$DRMB)"
+        sleep 120
+        continue
+      fi
+      break
+    fi
     [ "$rc" -eq 86 ] && { log "stall watchdog (rc 86) — waiting out claim window"; sleep 360; }
     log "watchdog handover — relaunching trainer (auto-resume)"
     sleep 60

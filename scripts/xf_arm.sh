@@ -26,7 +26,9 @@ log() { echo "[xf-arm $(date +%H:%M:%S)] $*"; }
 
 if [ ! -d "$WD/checkpoints/$STEPS" ]; then
   log "train: transformer decoder, $STEPS steps, rot_min=$ROT_MIN drmb=$DRMB"
+  attempt=0
   while :; do
+    attempt=$((attempt + 1))
     python -m sgg.cli.train --config vg1k --workdir "$WD" \
       --platform axon \
       --set model.decoder=transformer \
@@ -43,7 +45,20 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       --set train.host_rss_exit_gb=95
     rc=$?
     [ -d "$WD/checkpoints/$STEPS" ] && { rc=0; break; }
-    { [ "$rc" -eq 75 ] || [ "$rc" -eq 86 ] || break; }
+    if [ "$rc" -ne 75 ] && [ "$rc" -ne 86 ]; then
+      # Full-residency fallback: if the very first attempt dies before any
+      # checkpoint (e.g. HBM OOM fitting the 9.9 GB int8 store next to the
+      # transformer's activations), fall back to int8 ROTATING subsets —
+      # still half the f16 upload bytes + ROT_MIN amortization.
+      if [ "$attempt" -eq 1 ] && [ ! -d "$WD/checkpoints" ] \
+          && [ "$DRMB" != "4000000000" ]; then
+        DRMB=4000000000
+        log "first attempt failed rc=$rc before any checkpoint — falling back to int8 rotating subsets (drmb=$DRMB)"
+        sleep 120
+        continue
+      fi
+      break
+    fi
     [ "$rc" -eq 86 ] && { log "stall watchdog (rc 86) — waiting out claim window"; sleep 360; }
     log "watchdog handover — relaunching trainer (auto-resume)"
     sleep 60
