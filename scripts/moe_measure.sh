@@ -46,3 +46,7 @@ log "=== arm: dense control (vit 384/6/6) ==="
 run_arm "$D/moe_dense_ctl" --vit-dims 384,6,6 \
   || { log "dense arm failed"; exit 1; }
 log "done — compare the two held-out lines + img/s in the logs"
+
+# Chained round-5 stretch: balanced arm under the v4 int8-resident protocol
+# (same mid-queue chaining pattern as encoder_ab.sh -> this script).
+bash scripts/extra_v4.sh || log "bal-v4 stretch failed (queue continues)"
