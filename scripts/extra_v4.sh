@@ -10,7 +10,9 @@ export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 D=/root/data
 STEPS=${STEPS:-100000}
 DRMB=${DRMB:-12000000000}
-WD="$D/run_v4_bal0.7"
+ALPHA=${ALPHA:-0.7}
+WD="$D/run_v4_bal$ALPHA"
+EVAL_JSON=${EVAL_JSON:-$D/eval_v4_bal_ema.json}
 log() { echo "[bal-v4 $(date +%H:%M:%S)] $*"; }
 [ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
 
@@ -24,7 +26,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       --set data.source=shards --set "data.data_dir=$D/v3_shards" \
       --set "data.device_resident_max_bytes=$DRMB" \
       --set data.feature_store_int8=true \
-      --set data.predicate_balance=0.7 \
+      --set "data.predicate_balance=$ALPHA" \
       --set model.compute_dtype=bfloat16 \
       --set train.batch_size=256 --set "train.total_steps=$STEPS" \
       --set train.log_every=200 --set train.checkpoint_every=2000 \
@@ -55,12 +57,12 @@ else
   log "train already complete"
 fi
 
-if [ ! -s "$D/eval_v4_bal_ema.json" ] || grep -q '"partial": true' "$D/eval_v4_bal_ema.json"; then
-  log "eval: balanced v4 EMA (headline protocol)"
+if [ ! -s "$EVAL_JSON" ] || grep -q '"partial": true' "$EVAL_JSON"; then
+  log "eval: balanced v4 (alpha=$ALPHA) EMA, headline protocol"
   for try in 1 2 3; do
     python -m sgg.cli.evaluate --workdir "$WD" --split test \
       --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
-      --bootstrap 2000 --json-out "$D/eval_v4_bal_ema.json" \
+      --bootstrap 2000 --json-out "$EVAL_JSON" \
       --per-predicate --ema --platform axon
     rc=$?
     [ "$rc" -eq 0 ] && break

@@ -47,6 +47,11 @@ run_arm "$D/moe_dense_ctl" --vit-dims 384,6,6 \
   || { log "dense arm failed"; exit 1; }
 log "done — compare the two held-out lines + img/s in the logs"
 
-# Chained round-5 stretch: balanced arm under the v4 int8-resident protocol
+# Chained round-5 stretch: balanced arms under the v4 int8-resident protocol
 # (same mid-queue chaining pattern as encoder_ab.sh -> this script).
+# alpha=0.7 completes the clean same-protocol pair vs uniform_v4; alpha=1.0
+# probes the remaining train-side lever toward mR@100 >= 0.25 (the
+# eval-time adjust lever measured flat — BASELINE.md round-5 sweep 2).
 bash scripts/extra_v4.sh || log "bal-v4 stretch failed (queue continues)"
+ALPHA=1.0 EVAL_JSON=/root/data/eval_v4_bal1.0_ema.json \
+  bash scripts/extra_v4.sh || log "bal-v4 alpha=1.0 stretch failed"
