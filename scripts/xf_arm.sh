@@ -24,6 +24,21 @@ WD="$D/run_v3_xf"
 log() { echo "[xf-arm $(date +%H:%M:%S)] $*"; }
 [ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
 
+# --- Recipe-combo eval (runs first: cheap, decision-grade) -----------------
+# The round-5 sweeps measured EMA+logp (+11% R@50, +27% zsR@50) and
+# EMA+SWA(5) (+2.8% R@50) separately on the balanced checkpoint; this is
+# the composed candidate headline recipe, full 4096-image protocol.
+if [ -d "$D/run_v3_bal0.7/checkpoints" ] \
+    && { [ ! -s "$D/sweep_recipe.json" ] || grep -q '"partial": true' "$D/sweep_recipe.json"; }; then
+  log "recipe eval: balanced EMA + avg-last 5 + rank=logp"
+  python -m sgg.cli.evaluate --workdir "$D/run_v3_bal0.7" --split test \
+    --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 \
+    --rank logp --avg-last 5 --ema --zero-shot --per-predicate \
+    --bootstrap 2000 --json-out "$D/sweep_recipe.json" --platform axon \
+    || log "recipe eval failed (continuing to the train)"
+  sleep 90
+fi
+
 if [ ! -d "$WD/checkpoints/$STEPS" ]; then
   log "train: transformer decoder, $STEPS steps, rot_min=$ROT_MIN drmb=$DRMB"
   attempt=0
