@@ -17,6 +17,15 @@ WD="$D/run_v4_uniform"
 log() { echo "[uniform-v4 $(date +%H:%M:%S)] $*"; }
 [ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
 
+# ksat retry: session11b stage B died on a relay stall (exit 86, 01:15);
+# the script is idempotent (done-markers skip landed stages) so this
+# reruns only what's missing.
+if [ ! -f "$D/ksat_ab.done" ]; then
+  log "retrying session11b (ksat stage stalled earlier)"
+  bash scripts/session11b.sh || log "session11b retry reported failure"
+  sleep 90
+fi
+
 if [ ! -d "$WD/checkpoints/$STEPS" ]; then
   log "train: uniform LSTM v4, $STEPS steps, rot_min=$ROT_MIN drmb=$DRMB"
   attempt=0
