@@ -19,6 +19,21 @@ log() { echo "[encoder-ab $(date +%H:%M:%S)] $*"; }
 [ -f "$D/enc_pretrain_v3/encoder_params.npz" ] || {
   log "missing spatial-pretrain checkpoint (run pipeline_v3 stages 0-1)"; exit 1; }
 
+# Round-5 arm retries (both scripts are idempotent — skip instantly when
+# their checkpoints/evals exist): the 02:20 transformer OOM is fixed in
+# xf_arm.sh (grad_accum=4 + real fallback); uniform_v4.sh re-runs here iff
+# its first pass failed the same way.
+if [ ! -s "$D/eval_xf_raw.json" ]; then
+  log "retrying transformer arm (OOM fixed: grad_accum)"
+  bash scripts/xf_arm.sh || log "xf arm retry failed (continuing)"
+  sleep 90
+fi
+if [ ! -s "$D/eval_v4_uniform_ema.json" ] || [ ! -s "$D/sweep_adjust_uniform.json" ]; then
+  log "retrying uniform v4 arm"
+  bash scripts/uniform_v4.sh || log "uniform v4 retry failed (continuing)"
+  sleep 90
+fi
+
 run_arm() { # $1=workdir  $2=train_encoder
   local WD="$1" TE="$2"
   if [ -d "$WD/checkpoints/$STEPS" ]; then

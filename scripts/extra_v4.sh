@@ -10,6 +10,7 @@ export PYTHONPATH="/root/repo:${PYTHONPATH:-/root/.axon_site}"
 D=/root/data
 STEPS=${STEPS:-100000}
 DRMB=${DRMB:-12000000000}
+ACCUM=${ACCUM:-2}
 ALPHA=${ALPHA:-0.7}
 WD="$D/run_v4_bal$ALPHA"
 EVAL_JSON=${EVAL_JSON:-$D/eval_v4_bal_ema.json}
@@ -29,6 +30,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       --set "data.predicate_balance=$ALPHA" \
       --set model.compute_dtype=bfloat16 \
       --set train.batch_size=256 --set "train.total_steps=$STEPS" \
+      --set "train.grad_accum=$ACCUM" \
       --set train.log_every=200 --set train.checkpoint_every=2000 \
       --set data.rotation_min_steps=10000 \
       --set train.ema_decay=0.999 \
@@ -38,7 +40,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
     rc=$?
     [ -d "$WD/checkpoints/$STEPS" ] && { rc=0; break; }
     if [ "$rc" -ne 75 ] && [ "$rc" -ne 86 ]; then
-      if [ "$attempt" -eq 1 ] && [ ! -d "$WD/checkpoints" ] \
+      if [ "$attempt" -eq 1 ] && [ -z "$(ls "$WD/checkpoints" 2>/dev/null | grep -E '^[0-9]+$')" ] \
           && [ "$DRMB" != "4000000000" ]; then
         DRMB=4000000000
         log "first attempt failed rc=$rc — int8 rotating fallback"

@@ -12,6 +12,7 @@ D=/root/data
 STEPS=${STEPS:-100000}
 ROT_MIN=${ROT_MIN:-10000}
 DRMB=${DRMB:-12000000000}
+ACCUM=${ACCUM:-2}
 INT8=${INT8:-true}
 WD="$D/run_v4_uniform"
 log() { echo "[uniform-v4 $(date +%H:%M:%S)] $*"; }
@@ -38,6 +39,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       --set "data.feature_store_int8=$INT8" \
       --set model.compute_dtype=bfloat16 \
       --set train.batch_size=256 --set "train.total_steps=$STEPS" \
+      --set "train.grad_accum=$ACCUM" \
       --set train.log_every=200 --set train.checkpoint_every=2000 \
       --set "data.rotation_min_steps=$ROT_MIN" \
       --set train.ema_decay=0.999 \
@@ -48,7 +50,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
     [ -d "$WD/checkpoints/$STEPS" ] && { rc=0; break; }
     if [ "$rc" -ne 75 ] && [ "$rc" -ne 86 ]; then
       # Same full-residency → int8-rotating fallback as xf_arm.sh.
-      if [ "$attempt" -eq 1 ] && [ ! -d "$WD/checkpoints" ] \
+      if [ "$attempt" -eq 1 ] && [ -z "$(ls "$WD/checkpoints" 2>/dev/null | grep -E '^[0-9]+$')" ] \
           && [ "$DRMB" != "4000000000" ]; then
         DRMB=4000000000
         log "first attempt failed rc=$rc before any checkpoint — falling back to int8 rotating subsets (drmb=$DRMB)"

@@ -20,6 +20,10 @@ STEPS=${STEPS:-100000}
 ROT_MIN=${ROT_MIN:-10000}
 DRMB=${DRMB:-12000000000}
 INT8=${INT8:-true}
+# Microbatched GP step: the 02:20 OOM measured 18.46 GB needed vs 15.75 GB
+# usable = 9.28 GB resident store + ~9.2 GB transformer GP-step temps.
+# grad_accum=4 cuts the temps ~4x (same gradients, lax.scan microbatches).
+ACCUM=${ACCUM:-4}
 WD="$D/run_v3_xf"
 log() { echo "[xf-arm $(date +%H:%M:%S)] $*"; }
 [ -f "$D/v3_shards/vocab.json" ] || { log "v3 shards missing"; exit 1; }
@@ -52,6 +56,7 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       --set "data.feature_store_int8=$INT8" \
       --set model.compute_dtype=bfloat16 \
       --set train.batch_size=256 --set "train.total_steps=$STEPS" \
+      --set "train.grad_accum=$ACCUM" \
       --set train.log_every=200 --set train.checkpoint_every=2000 \
       --set "data.rotation_min_steps=$ROT_MIN" \
       --set train.ema_decay=0.999 \
@@ -65,7 +70,10 @@ if [ ! -d "$WD/checkpoints/$STEPS" ]; then
       # checkpoint (e.g. HBM OOM fitting the 9.9 GB int8 store next to the
       # transformer's activations), fall back to int8 ROTATING subsets —
       # still half the f16 upload bytes + ROT_MIN amortization.
-      if [ "$attempt" -eq 1 ] && [ ! -d "$WD/checkpoints" ] \
+      # (orbax creates checkpoints/ at init, so test for an actual saved
+      # step, not the directory — the 02:20 OOM slipped past the dir test)
+      if [ "$attempt" -eq 1 ] \
+          && [ -z "$(ls "$WD/checkpoints" 2>/dev/null | grep -E '^[0-9]+$')" ] \
           && [ "$DRMB" != "4000000000" ]; then
         DRMB=4000000000
         log "first attempt failed rc=$rc before any checkpoint — falling back to int8 rotating subsets (drmb=$DRMB)"
