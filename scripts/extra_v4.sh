@@ -63,7 +63,7 @@ if [ ! -s "$EVAL_JSON" ] || grep -q '"partial": true' "$EVAL_JSON"; then
   log "eval: balanced v4 (alpha=$ALPHA) EMA, headline protocol"
   for try in 1 2 3; do
     python -m sgg.cli.evaluate --workdir "$WD" --split test \
-      --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
+      --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 --zero-shot \
       --bootstrap 2000 --json-out "$EVAL_JSON" \
       --per-predicate --ema --platform axon
     rc=$?

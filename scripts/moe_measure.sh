@@ -47,6 +47,21 @@ run_arm "$D/moe_dense_ctl" --vit-dims 384,6,6 \
   || { log "dense arm failed"; exit 1; }
 log "done — compare the two held-out lines + img/s in the logs"
 
+# Chained: FULL-SPLIT confirmation of the promoted headline recipe
+# (balanced EMA + SWA5 + logp measured R@50 0.3043 at 4096 images —
+# this pins the headline number on all 10,808 test images).
+D=/root/data
+if [ -d "$D/run_v3_bal0.7/checkpoints" ] \
+    && { [ ! -s "$D/eval_recipe_full.json" ] || grep -q '"partial": true' "$D/eval_recipe_full.json"; }; then
+  log "full-split recipe eval (headline confirmation)"
+  python -m sgg.cli.evaluate --workdir "$D/run_v3_bal0.7" --split test \
+    --k 20,50,100 --num-samples 100 --batch-size 256 \
+    --rank logp --avg-last 5 --ema --zero-shot --per-predicate \
+    --bootstrap 2000 --json-out "$D/eval_recipe_full.json" --platform axon \
+    || log "full-split recipe eval failed (4096-image number stands)"
+  sleep 90
+fi
+
 # Chained round-5 stretch: balanced arms under the v4 int8-resident protocol
 # (same mid-queue chaining pattern as encoder_ab.sh -> this script).
 # alpha=0.7 completes the clean same-protocol pair vs uniform_v4; alpha=1.0

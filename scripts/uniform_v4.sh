@@ -84,7 +84,7 @@ run_eval() {
 if [ ! -s "$D/eval_v4_uniform_ema.json" ] || grep -q '"partial": true' "$D/eval_v4_uniform_ema.json"; then
   log "eval: uniform v4 EMA (headline protocol)"
   run_eval --workdir "$WD" --split test \
-    --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
+    --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 --zero-shot \
     --bootstrap 2000 --json-out "$D/eval_v4_uniform_ema.json" \
     --per-predicate --ema || { log "EMA eval failed"; exit 1; }
   sleep 90

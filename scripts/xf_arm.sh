@@ -107,7 +107,7 @@ run_eval() {
 if [ ! -s "$D/eval_xf_ema.json" ] || grep -q '"partial": true' "$D/eval_xf_ema.json"; then
   log "eval: EMA (headline-comparable protocol)"
   run_eval --workdir "$WD" --split test \
-    --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
+    --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 --zero-shot \
     --bootstrap 2000 --json-out "$D/eval_xf_ema.json" --per-predicate --ema \
     || { log "EMA eval failed"; exit 1; }
   sleep 90
@@ -115,7 +115,7 @@ fi
 if [ ! -s "$D/eval_xf_raw.json" ] || grep -q '"partial": true' "$D/eval_xf_raw.json"; then
   log "eval: raw"
   run_eval --workdir "$WD" --split test \
-    --k 20,50,100 --num-samples 100 --batch-size 256 --zero-shot --predcls \
+    --k 20,50,100 --num-samples 100 --batch-size 256 --num-images 4096 --zero-shot \
     --bootstrap 2000 --json-out "$D/eval_xf_raw.json" --per-predicate \
     || { log "raw eval failed"; exit 1; }
 fi
