@@ -63,11 +63,15 @@ def main(argv=None) -> int:
     p.add_argument("--ema", action="store_true",
                    help="serve the EMA generator weights (requires a run "
                         "trained with train.ema_decay > 0)")
-    p.add_argument("--rank", default="freq",
+    p.add_argument("--rank", default=None,
                    choices=["freq", "freq_logp", "logp"],
                    help="triple confidence order in responses: sample "
                         "frequency, log-prob tiebreak, or pure model "
-                        "probability mass (sgg.eval.rank_triples)")
+                        "probability mass (sgg.eval.rank_triples). Default: "
+                        "logp with --workdir — measured +11%% R@50 / +27%% "
+                        "zsR@50 over freq at identical samples (BASELINE.md "
+                        "round-5 sweep 1) — and freq with --artifact "
+                        "(exported programs emit tokens, not log-probs)")
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
@@ -83,6 +87,10 @@ def main(argv=None) -> int:
         print("[sgg.serve] pass exactly one of --workdir / --artifact",
               file=sys.stderr)
         return 2
+    if args.rank is None:
+        # Measured serving default (round-5 sweep 1): logp ranking is free
+        # quality when weights are available; artifacts can't emit log-probs.
+        args.rank = "freq" if args.artifact else "logp"
     if args.artifact:
         if args.dp:
             print("[sgg.serve] --dp needs --workdir (artifacts are compiled "
