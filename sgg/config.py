@@ -415,6 +415,33 @@ def _cfg_smoke() -> Config:
     return c
 
 
+def _cfg_pipeline_v4() -> Config:
+    """The promoted round-5 pipeline (BASELINE.md "Composed recipe"):
+    predicate-balanced (α=0.7) training on precomputed-feature shards with
+    the int8 fully-resident store, evaluated/served with
+    ``--ema --avg-last 5 --rank logp``. Measured on the grounded corpus at
+    VG volume: R@50 0.3043, mR@100 0.2061, zsR@50 0.0455 — dominates the
+    uniform arm on head recall, tail coverage, AND zero-shot composition
+    simultaneously (the round-4 frontier trade is closed). Point
+    ``data.data_dir`` at the extraction shards and run
+    ``python -m sgg.cli.train --config pipeline_v4 --workdir <wd>``."""
+    c = Config(name="pipeline_v4")
+    c.model.compute_dtype = "bfloat16"
+    c.data.source = "shards"
+    c.data.predicate_balance = 0.7
+    c.data.feature_store_int8 = True
+    c.data.device_resident_max_bytes = 12_000_000_000
+    c.data.rotation_min_steps = 10_000
+    c.train.batch_size = 256
+    c.train.total_steps = 100_000
+    c.train.grad_accum = 2
+    c.train.ema_decay = 0.999
+    c.train.checkpoint_every = 2_000
+    c.train.max_checkpoints = 6
+    c.train.eval_every = 5_000
+    return c
+
+
 CONFIGS = {
     "vg1k": _cfg_vg1k_cpu,
     "vg_full": _cfg_vg_full_v4_8,
@@ -422,6 +449,7 @@ CONFIGS = {
     "vit_b16": _cfg_vit_b16,
     "v4_32": _cfg_v4_32_multihost,
     "smoke": _cfg_smoke,
+    "pipeline_v4": _cfg_pipeline_v4,
 }
 
 
