@@ -33,6 +33,11 @@ if [ ! -s "$D/eval_v4_uniform_ema.json" ] || [ ! -s "$D/sweep_adjust_uniform.jso
   bash scripts/uniform_v4.sh || log "uniform v4 retry failed (continuing)"
   sleep 90
 fi
+if [ ! -f "$D/ksat_ab.done" ]; then
+  log "ksat final retry (stage B now at batch 128)"
+  bash scripts/session11b.sh || log "ksat retry failed (continuing)"
+  sleep 90
+fi
 
 run_arm() { # $1=workdir  $2=train_encoder
   local WD="$1" TE="$2"

@@ -84,8 +84,12 @@ fi
 if [ ! -f "$D/ksat_ab.done" ]; then
   log "stage B: num-samples saturation curve (ONE process: draws are iid,"
   log "  smaller Ks are prefixes of the K=200 pass — same noise across Ks)"
+  # batch 128 (not 256): both round-5 K=200 attempts at B=256 stalled the
+  # relay at the FIRST batch (900 s watchdog, no error) — B×K = 256×200
+  # doubles the parallel-decode width of every known-good pass; 128×200
+  # equals the proven 256×100 envelope.
   if python -m sgg.cli.evaluate --workdir "$BWD" --split test \
-      --k 20,50,100 --num-samples 25,50,100,200 --batch-size 256 \
+      --k 20,50,100 --num-samples 25,50,100,200 --batch-size 128 \
       --num-images 4096 --ema --bootstrap 2000 --json-out "$D/sweep_ksat.json" \
       --platform axon; then
     touch "$D/ksat_ab.done"
