@@ -430,7 +430,15 @@ def _cfg_pipeline_v4() -> Config:
     c.data.source = "shards"
     c.data.predicate_balance = 0.7
     c.data.feature_store_int8 = True
-    c.data.device_resident_max_bytes = 12_000_000_000
+    # Rotating int8 subsets, NOT full residency: XLA cannot alias a jit
+    # argument into the program's tiled layout, so program entry holds a
+    # reformatted COPY of the store — any store > HBM/2 OOMs at compile
+    # (measured: 9.28 GB program copy + 9.18 GB live argument = 18.46 GB
+    # > 15.75 GB usable v5e HBM, identical across decoders/grad_accum).
+    # 2 GB int8 subsets (~4x the images per subset of the f16 round-4 run)
+    # + rotation_min_steps amortization keep the relay upload tax <10% of
+    # wall clock. Raise on chips with more HBM.
+    c.data.device_resident_max_bytes = 4_000_000_000
     c.data.rotation_min_steps = 10_000
     c.train.batch_size = 256
     c.train.total_steps = 100_000
