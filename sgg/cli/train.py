@@ -297,10 +297,55 @@ def main(argv=None) -> int:
             os.path.join(cfg.workdir, "profile"), start_step=int(state.step) + 10
         )
 
+    # Fused multi-step dispatch (train.steps_per_dispatch > 1): N sample+step
+    # iterations inside ONE jitted program. On dispatch-latency-bound
+    # attachments (this machine's relay: ~30 ms/dispatch × 2-3 dispatches
+    # per step ≈ 80-100 ms/step of pure latency) this is THE wall-throughput
+    # lever — the per-step loop measured ~10-13 steps/s wall vs 113 steps/s
+    # in-compute (BASELINE.md round 5). Sample and step rng both key off the
+    # global step, so stride is a pure scheduling choice.
+    stride = max(1, int(cfg.train.steps_per_dispatch))
+    if stride > 1:
+        import math
+
+        if not (use_device_data and jax.process_count() == 1
+                and grain_it is None):
+            print("[sgg.train] steps_per_dispatch needs the single-process "
+                  "device-resident data path — falling back to per-step "
+                  "dispatch", flush=True)
+            stride = 1
+        else:
+            for v in (cfg.train.log_every, cfg.train.checkpoint_every,
+                      cfg.train.eval_every or stride,
+                      cfg.train.total_steps, int(state.step) or stride):
+                stride = math.gcd(stride, v)
+            if stride != cfg.train.steps_per_dispatch:
+                print(f"[sgg.train] steps_per_dispatch rounded to {stride} "
+                      "(gcd of log/checkpoint/eval cadences + resume step)",
+                      flush=True)
+    if stride > 1:
+        from sgg.data.pipeline import make_fused_device_stepper
+
+        fused_fn, _fused_store = make_fused_device_stepper(
+            ds, step_fn, cfg.train.batch_size, cfg.train.n_critic,
+            n_steps=stride, seed=cfg.train.seed, sharding=sharding,
+            int8_store=_int8_store,
+        )
+
+        def step_fn(state, step0, _f=fused_fn, _a=_fused_store):  # noqa: F811
+            return _f(state, *_a, step0)
+
+        # Sample-step counters, RELATIVE to this launch (the per-step
+        # iterator also restarts its sample stream at 0 on relaunch).
+        it = iter(range(0, cfg.train.total_steps, stride))
+        print(f"[sgg.train] fused dispatch: {stride} steps/program",
+              flush=True)
+
     from sgg.utils.debug import assert_super_batch
 
     first_batch = next(it)
-    assert_super_batch(first_batch, cfg.train.n_critic, cfg.train.batch_size)
+    if stride == 1:
+        assert_super_batch(first_batch, cfg.train.n_critic, cfg.train.batch_size)
 
     # Preemption/failure hook (SURVEY.md §5): SIGTERM/SIGINT checkpoint the
     # current state before exiting, so auto-resume loses at most one step.
@@ -361,7 +406,7 @@ def main(argv=None) -> int:
     # boundaries, where metrics are materialized anyway.
     start = int(state.step)
     try:
-        for i in range(start, cfg.train.total_steps):
+        for i in range(start, cfg.train.total_steps, stride):
             if preempted["flag"]:
                 print(
                     f"[sgg.train] preemption signal — checkpointing at step {i} "
@@ -378,7 +423,7 @@ def main(argv=None) -> int:
             if profiler:
                 profiler.maybe_start(i)
             state, metrics = step_fn(state, batch)
-            step = i + 1
+            step = i + stride
             if profiler and profiler.maybe_stop(step):
                 print(f"[sgg.train] profile trace → {profiler.logdir}", flush=True)
             if step % cfg.train.log_every == 0 or step == cfg.train.total_steps:

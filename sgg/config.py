@@ -226,6 +226,15 @@ class TrainConfig:
     # (1.501→1.382 ms at the vg1k config); it also makes XLA's cost model
     # count every iteration, which the scanned form does not.
     critic_unroll: int = 8
+    # Fuse N train steps (sample + step body) into ONE jitted program via
+    # lax.scan — the wall-throughput lever for dispatch-latency-bound
+    # attachments (this machine's relay costs ~30 ms/dispatch × 2-3
+    # dispatches/step ≈ 80-100 ms/step of pure latency; N=32 amortizes it
+    # ~30×). Sample/step rng keys are derived from the global step, so the
+    # math is IDENTICAL to the per-step path (tests pin this). Requires the
+    # device-resident data path, single process; log/checkpoint/eval
+    # cadences round to multiples of N.
+    steps_per_dispatch: int = 1
     # Periodic held-out evaluation inside the train loop: every eval_every
     # steps, decode eval_samples draws/image for up to eval_images held-out
     # images (EMA weights when tracked — what inference uses) and log

@@ -192,6 +192,33 @@ def make_device_train_iterator(
     """
     import jax.numpy as jnp
 
+    arrays, meta = _prepare_device_arrays(
+        dataset, process_index, process_count, int8_store
+    )
+    sample_body = _make_sample_body(
+        meta, batch_size, n_critic, seed, sharding
+    )
+    sample = jax.jit(sample_body)
+
+    def gen():
+        step = 0
+        while True:
+            yield sample(*arrays, step)
+            step += 1
+
+    return gen()
+
+
+def _prepare_device_arrays(dataset, process_index, process_count, int8_store):
+    """Shared store-prep for the device-resident paths: the full (local)
+    store in HBM (optionally int8-quantized + per-region scale) plus the
+    dense triple tables. Returns ``(arrays, meta)`` where ``arrays`` =
+    (feats, scale, dense, counts, cumw) device arrays and ``meta`` carries
+    what :func:`_make_sample_body` needs to sample from them."""
+    import jax.numpy as jnp
+
+    from sgg.eval.sampler import device_put_features
+
     if process_index is None:
         process_index = jax.process_index()
     if process_count is None:
@@ -199,8 +226,6 @@ def make_device_train_iterator(
     local = dataset.process_slice(process_index, process_count)
     if len(local) == 0:
         raise ValueError(f"process {process_index}/{process_count}: empty shard")
-
-    from sgg.eval.sampler import device_put_features
 
     store_host, key_name = _data_store(dataset)
     # [N, ...] → HBM once. Chunked: a single multi-GB put collapses to
@@ -212,11 +237,11 @@ def make_device_train_iterator(
         else store_host[local]
     )
     int8_store = int8_store and key_name == "features"
+    store_dtype = host_feats.dtype
     if int8_store:
-        # int8 + per-region scale resident; the jitted gather below dequants
-        # the BATCH (not the store) back to the original dtype — a fused
+        # int8 + per-region scale resident; the jitted gather dequants the
+        # BATCH (not the store) back to the original dtype — a fused
         # gather·mul·cast, zero extra HBM beyond the batch itself.
-        store_dtype = host_feats.dtype
         q_host, scale_host = quantize_feature_store(host_feats)
         feats = device_put_features(q_host)
         scale_d = device_put_features(scale_host)
@@ -231,8 +256,6 @@ def make_device_train_iterator(
     for j, t in enumerate(tri_list):
         dense[j, : t.shape[0]] = t
         counts[j] = t.shape[0]
-    dense_d = jnp.asarray(dense)
-    counts_d = jnp.asarray(counts)
     balanced = dataset.triple_weights is not None
     cumw_d = jnp.asarray(
         _dense_cum_weights(
@@ -241,14 +264,38 @@ def make_device_train_iterator(
         if balanced
         else np.zeros((1, 1), np.float32)  # unused; DCE'd under jit
     )
-    N = len(local)
-    n_sub = n_critic + 1
-    base = jax.random.key(seed + 7919 * process_index)
+    arrays = (feats, scale_d, jnp.asarray(dense), jnp.asarray(counts), cumw_d)
+    meta = {
+        "key_name": key_name,
+        "int8": int8_store,
+        "store_dtype": store_dtype,
+        "balanced": balanced,
+        "N": len(local),
+        "process_index": process_index,
+    }
+    return arrays, meta
 
-    # Device arrays are ARGUMENTS, not closures: a closed-over array becomes
-    # a program constant, bloating the compiled executable (and overflowing
-    # remote-compile request limits) by the size of the dataset.
-    @jax.jit
+
+def _make_sample_body(meta, batch_size, n_critic, seed, sharding):
+    """Pure (un-jitted) super-batch sampler over the device-resident arrays.
+
+    Device arrays are ARGUMENTS, not closures: a closed-over array becomes
+    a program constant, bloating the compiled executable (and overflowing
+    remote-compile request limits) by the size of the dataset. ``step`` may
+    be a host int or a traced scalar — keys derive from
+    ``fold_in(base, step)`` either way, which is what makes the fused
+    multi-step path (make_fused_device_stepper) bit-identical to the
+    per-step iterator."""
+    import jax.numpy as jnp
+
+    n_sub = n_critic + 1
+    base = jax.random.key(seed + 7919 * meta["process_index"])
+    key_name = meta["key_name"]
+    balanced = meta["balanced"]
+    int8_store = meta["int8"]
+    store_dtype = meta["store_dtype"]
+    N = meta["N"]
+
     def sample(feats, scale, dense, counts, cumw, step):
         key = jax.random.fold_in(base, step)
         k_img, k_tri = jax.random.split(key)
@@ -273,13 +320,61 @@ def make_device_train_iterator(
             )
         return batch
 
-    def gen():
-        step = 0
-        while True:
-            yield sample(feats, scale_d, dense_d, counts_d, cumw_d, step)
-            step += 1
+    return sample
 
-    return gen()
+
+def make_fused_device_stepper(
+    dataset,
+    step_fn,
+    batch_size: int,
+    n_critic: int,
+    n_steps: int,
+    seed: int = 0,
+    process_index: int | None = None,
+    process_count: int | None = None,
+    sharding: jax.sharding.Sharding | None = None,
+    int8_store: bool = False,
+):
+    """N train steps per dispatch: ``lax.scan(step ∘ sample)`` in ONE jitted
+    program over the device-resident store.
+
+    The wall-throughput lever for dispatch-latency-bound attachments: this
+    machine's TPU relay costs ~30 ms per dispatch × 2-3 dispatches/step
+    (sample, step, periodic readback) ≈ 80-100 ms/step of pure latency —
+    which bounded every per-step train loop at ~10-13 steps/s REGARDLESS
+    of data loading (BASELINE.md round-5 "rotation-upload tax" section:
+    in-compute marginal 113 steps/s vs ~10 wall). Fusing N steps amortizes
+    the round trip to latency/N.
+
+    The sample stream keys off ``fold_in(base, step0 + k)`` and the step
+    body keys off ``state.step`` — both identical to the per-step path, so
+    N is a pure scheduling choice (tests pin fused == sequential).
+
+    Returns ``(fused_fn, store_args)``; call
+    ``fused_fn(state, *store_args, step0)`` → ``(state', last_metrics)``
+    where ``step0`` counts SAMPLE steps from this process's launch (the
+    per-step iterator also restarts its sample counter at 0 on relaunch).
+    """
+    import jax.numpy as jnp
+
+    arrays, meta = _prepare_device_arrays(
+        dataset, process_index, process_count, int8_store
+    )
+    sample_body = _make_sample_body(meta, batch_size, n_critic, seed, sharding)
+
+    @jax.jit
+    def fused(state, feats, scale, dense, counts, cumw, step0):
+        def body(st, k):
+            batch = sample_body(feats, scale, dense, counts, cumw, step0 + k)
+            st2, metrics = step_fn(st, batch)
+            return st2, metrics
+
+        state2, ms = jax.lax.scan(body, state, jnp.arange(n_steps))
+        # Log boundaries see the LAST inner step's metrics — same scalars
+        # the per-step loop would have handed the logger at this step.
+        return state2, jax.tree.map(lambda x: x[-1], ms)
+
+    return fused, arrays
 
 
 def make_rotating_device_iterator(

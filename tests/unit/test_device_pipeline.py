@@ -373,3 +373,64 @@ def test_rotating_iterator_int8_store(ds):
                 np.asarray(ds.features, np.float32) - blk[None]
             ).max((1, 2))
             assert d.min() <= absmax / 127.0 + 1e-6
+
+
+def test_fused_stepper_matches_per_step_iterator(ds):
+    """steps_per_dispatch correctness pin: the fused lax.scan(step ∘ sample)
+    program must consume the IDENTICAL sample stream as the per-step
+    iterator (keys derive from fold_in(base, global_step) in both)."""
+    import jax.numpy as jnp
+
+    from sgg.data.pipeline import make_fused_device_stepper
+
+    def fake_step(st, batch):
+        acc = st["acc"] + jnp.sum(batch["features"].astype(jnp.float32))
+        tri = st["tri"] + jnp.sum(batch["triples"])
+        st2 = {"acc": acc, "tri": tri, "n": st["n"] + 1}
+        return st2, {"acc": acc, "tri": tri}
+
+    fused, arrays = make_fused_device_stepper(
+        ds, fake_step, batch_size=4, n_critic=2, n_steps=3, seed=11,
+        process_index=0, process_count=1,
+    )
+    st0 = {"acc": jnp.float32(0), "tri": jnp.int32(0), "n": jnp.int32(0)}
+    out, last = fused(st0, *arrays, 0)
+    out2, last2 = fused(out, *arrays, 3)  # second dispatch continues stream
+
+    it = make_device_train_iterator(
+        ds, 4, 2, seed=11, process_index=0, process_count=1
+    )
+    ref = st0
+    for _ in range(6):
+        ref, ref_last = fake_step(ref, next(it))
+
+    assert int(out2["n"]) == 6
+    np.testing.assert_allclose(
+        float(out2["acc"]), float(ref["acc"]), rtol=1e-6
+    )
+    assert int(out2["tri"]) == int(ref["tri"])
+    assert float(last2["acc"]) == pytest.approx(float(ref_last["acc"]), rel=1e-6)
+
+
+def test_fused_stepper_int8_matches_iterator_int8(ds):
+    import jax.numpy as jnp
+
+    from sgg.data.pipeline import make_fused_device_stepper
+
+    def fake_step(st, batch):
+        acc = st + jnp.sum(batch["features"].astype(jnp.float32))
+        return acc, {"acc": acc}
+
+    fused, arrays = make_fused_device_stepper(
+        ds, fake_step, batch_size=4, n_critic=1, n_steps=4, seed=5,
+        process_index=0, process_count=1, int8_store=True,
+    )
+    out, _ = fused(jnp.float32(0), *arrays, 0)
+
+    it = make_device_train_iterator(
+        ds, 4, 1, seed=5, process_index=0, process_count=1, int8_store=True
+    )
+    ref = jnp.float32(0)
+    for _ in range(4):
+        ref, _m = fake_step(ref, next(it))
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-6)
