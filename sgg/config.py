@@ -452,6 +452,9 @@ def _cfg_pipeline_v4() -> Config:
     c.train.batch_size = 256
     c.train.total_steps = 100_000
     c.train.grad_accum = 2
+    # 32 steps per jitted program: +33% wall on-chip even without upload
+    # contention, bit-identical math (BASELINE.md round-5 final entry).
+    c.train.steps_per_dispatch = 32
     c.train.ema_decay = 0.999
     c.train.checkpoint_every = 2_000
     c.train.max_checkpoints = 6
